@@ -1,0 +1,225 @@
+"""Linkage configuration: TOML -> validated dataclasses.
+
+Mirrors the reference's config layer (O1/O2 in SURVEY.md §2):
+``LinkageConfig`` / ``LinkageCriteria`` / ``ApproxMatch`` structs built by
+``/root/reference/src/unexported/config.jl:137-170`` with validation at
+``config.jl:61-77`` (threshold strictly inside (0,1), closed metric set,
+input files must exist).
+
+Differences from the reference (deliberate, Spark-first):
+- ``distancemetric`` additionally admits ``jarowinkler`` (the north star
+  asks for Jaro-Winkler alongside Levenshtein).
+- schema declarations are plain column lists (the engine compares strings
+  only, exactly like the reference — ``runlinkage.jl:56``).
+- extra optional knobs for the distributed execution: ``block_salt_buckets``
+  (skew salting), ``broadcast_spine`` and ``checkpoint_dir`` (resume).
+"""
+
+from __future__ import annotations
+
+import tomllib
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any
+
+#: Closed metric set: the reference whitelists these four
+#: (config.jl:62-66); jarowinkler is our single addition.
+VALID_METRICS = frozenset(
+    {"jaro", "jarowinkler", "levenshtein", "dameraulevenshtein", "ratcliffobershelp"}
+)
+
+
+@dataclass(frozen=True)
+class ApproxMatch:
+    """One fuzzy criterion: compare event column to spine column.
+
+    Reference struct: config.jl:54-69; threshold must satisfy
+    0 < threshold < 1 (config.jl:61) and the metric must be known
+    (config.jl:62-66).
+    """
+
+    datacolumn: str
+    spinecolumn: str
+    distancemetric: str
+    threshold: float
+
+    def __post_init__(self) -> None:
+        if not (0.0 < self.threshold < 1.0):
+            raise ValueError(
+                f"ApproxMatch threshold must be in (0, 1) exclusive, got {self.threshold}"
+            )
+        if self.distancemetric not in VALID_METRICS:
+            raise ValueError(
+                f"Unknown distance metric {self.distancemetric!r}; "
+                f"valid: {sorted(VALID_METRICS)}"
+            )
+
+
+@dataclass(frozen=True)
+class LinkageCriteria:
+    """One criteria-set: all exact matches AND all approx matches must hold.
+
+    Reference struct: config.jl:91-96. ``id`` is globally sequential in
+    config order; criteria are grouped by tablename preserving
+    first-appearance order (config.jl:156-168).
+    """
+
+    id: int
+    tablename: str
+    exactmatch: dict[str, str] = field(default_factory=dict)  # datacol -> spinecol
+    approxmatch: tuple[ApproxMatch, ...] = ()
+
+    def __post_init__(self) -> None:
+        if not self.exactmatch and not self.approxmatch:
+            raise ValueError(f"Criteria {self.id}: needs exactmatch or approxmatch")
+
+
+@dataclass(frozen=True)
+class TableConfig:
+    """An input event table: name, data location, primary-key columns.
+
+    The reference reads a Schemata.jl TOML per table but consumes only
+    (name, primarykey, columnorder) — runlinkage.jl:48,100,123-125. We
+    declare those three directly.
+    """
+
+    name: str
+    datafile: str
+    primarykey: tuple[str, ...]
+    columns: tuple[str, ...] = ()
+
+
+@dataclass(frozen=True)
+class LinkageConfig:
+    """Full run configuration. Reference struct: config.jl:19-29."""
+
+    projectname: str
+    output_directory: str
+    spine_datafile: str | None  # None => start from an empty spine (runlinkage.jl:46-53)
+    spine_columns: tuple[str, ...]
+    append_to_spine: bool
+    construct_entityid_from: tuple[str, ...]
+    tables: dict[str, TableConfig]
+    criteria: tuple[LinkageCriteria, ...]
+    description: str = ""
+    # --- distributed-execution knobs (no reference analogue) ---
+    block_salt_buckets: int = 8  # salting factor for hot blocks
+    broadcast_spine: bool = True  # force broadcast of the spine side
+    checkpoint_dir: str | None = None  # resume state; default <outdir>/checkpoints
+
+    def __post_init__(self) -> None:
+        if self.append_to_spine and not self.construct_entityid_from:
+            raise ValueError("append_to_spine requires construct_entityid_from columns")
+        if "EntityId" not in self.spine_columns:
+            # Mirrors runlinkage.jl:49: spine schema must contain EntityId.
+            raise ValueError("spine_columns must include EntityId")
+        for crit in self.criteria:
+            if crit.tablename not in self.tables:
+                raise ValueError(
+                    f"Criteria {crit.id} references unknown table {crit.tablename!r}"
+                )
+
+    @property
+    def criteria_by_table(self) -> list[tuple[str, list[LinkageCriteria]]]:
+        """Criteria grouped by table, preserving first-appearance order.
+
+        Reproduces config.jl:156-168: global sequential ids, grouped, and
+        run_linkage iterates the groups in that order (runlinkage.jl:70-84).
+        """
+        order: list[str] = []
+        groups: dict[str, list[LinkageCriteria]] = {}
+        for c in self.criteria:
+            if c.tablename not in groups:
+                groups[c.tablename] = []
+                order.append(c.tablename)
+            groups[c.tablename].append(c)
+        return [(t, groups[t]) for t in order]
+
+
+def _approx_list(raw: Any) -> tuple[ApproxMatch, ...]:
+    if not raw:
+        return ()
+    return tuple(
+        ApproxMatch(
+            datacolumn=d["datacolumn"],
+            spinecolumn=d["spinecolumn"],
+            distancemetric=d["distancemetric"],
+            threshold=float(d["threshold"]),
+        )
+        for d in raw
+    )
+
+
+def load_config(path: str | Path, check_files: bool = True) -> LinkageConfig:
+    """Parse a TOML config file into a validated LinkageConfig.
+
+    TOML layout mirrors the reference's (e.g.
+    /root/reference/test/config/link_all_health_service_events.toml):
+
+        projectname = "..."
+        output_directory = "..."
+        append_to_spine = true
+        construct_entityid_from = ["firstname", "lastname", "birthdate"]
+        [spine]
+        datafile = ""              # empty => start empty
+        columns = ["EntityId", "firstname", ...]
+        [[tables]]
+        name = "influenza_cases"
+        datafile = "..."
+        primarykey = ["personid"]
+        [[criteria]]
+        tablename = "influenza_cases"
+        [criteria.exactmatch]
+        firstname = "firstname"
+        [[criteria.approxmatch]]
+        datacolumn = "lastname"
+        spinecolumn = "lastname"
+        distancemetric = "levenshtein"
+        threshold = 0.3
+    """
+    path = Path(path)
+    with open(path, "rb") as f:
+        raw = tomllib.load(f)
+
+    tables: dict[str, TableConfig] = {}
+    for t in raw.get("tables", []):
+        tc = TableConfig(
+            name=t["name"],
+            datafile=t["datafile"],
+            primarykey=tuple(t["primarykey"]),
+            columns=tuple(t.get("columns", ())),
+        )
+        if check_files and tc.datafile and not Path(tc.datafile).exists():
+            # Fail fast like config.jl:25-26.
+            raise FileNotFoundError(f"table {tc.name}: datafile not found: {tc.datafile}")
+        tables[tc.name] = tc
+
+    criteria = tuple(
+        LinkageCriteria(
+            id=i + 1,  # global sequential ids, 1-based like the reference
+            tablename=c["tablename"],
+            exactmatch=dict(c.get("exactmatch", {})),
+            approxmatch=_approx_list(c.get("approxmatch")),
+        )
+        for i, c in enumerate(raw.get("criteria", []))
+    )
+
+    spine = raw.get("spine", {})
+    spine_datafile = spine.get("datafile") or None
+    if check_files and spine_datafile and not Path(spine_datafile).exists():
+        raise FileNotFoundError(f"spine datafile not found: {spine_datafile}")
+
+    return LinkageConfig(
+        projectname=raw["projectname"],
+        description=raw.get("description", ""),
+        output_directory=raw["output_directory"],
+        spine_datafile=spine_datafile,
+        spine_columns=tuple(spine.get("columns", ())),
+        append_to_spine=bool(raw.get("append_to_spine", False)),
+        construct_entityid_from=tuple(raw.get("construct_entityid_from", ())),
+        tables=tables,
+        criteria=criteria,
+        block_salt_buckets=int(raw.get("block_salt_buckets", 8)),
+        broadcast_spine=bool(raw.get("broadcast_spine", True)),
+        checkpoint_dir=raw.get("checkpoint_dir") or None,
+    )

@@ -1,0 +1,213 @@
+"""Normalized string-distance kernels (operator O24).
+
+Reference semantics (/root/reference/src/unexported/distances.jl:14-18):
+``distance(metric, v1, v2) = 1 - compare(v1, v2, metric())`` scaled to
+[0, 1] where 0 = equal and 1 = totally different, and **missing on either
+side => 1.0** (distances.jl:15-16, README.md:174-175). Metric set:
+jaro, levenshtein, dameraulevenshtein, ratcliffobershelp
+(config.jl:62-66) plus jarowinkler (north-star addition).
+
+Golden values pinned from /root/reference/README.md:160-166:
+lev("robert","rob") = 0.5, lev("robert","bob") = 2/3, lev("rob","bob") = 1/3.
+
+Execution strategy — two tiers:
+- ``levenshtein``: pure Catalyst expression (``F.levenshtein`` is a JVM
+  builtin inside whole-stage codegen) — this is the hot path and never
+  leaves the JVM.
+- the other metrics: Arrow-batched ``pandas_udf`` (no per-row Python UDF;
+  batches of 10k pairs cross the JVM<->Python boundary once, per the
+  input_hint's "vectorized pandas/Arrow UDFs" requirement). The inner
+  kernels are pure Python over short linkage strings.
+"""
+
+from __future__ import annotations
+
+from difflib import SequenceMatcher
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+# ---------------------------------------------------------------------------
+# Pure-Python kernels (similarity in [0,1]); used inside pandas UDFs and by
+# the sequential oracle in tests.
+# ---------------------------------------------------------------------------
+
+
+def _levenshtein(s1: str, s2: str) -> int:
+    if s1 == s2:
+        return 0
+    if len(s1) < len(s2):
+        s1, s2 = s2, s1
+    if not s2:
+        return len(s1)
+    prev = list(range(len(s2) + 1))
+    for i, c1 in enumerate(s1):
+        cur = [i + 1]
+        for j, c2 in enumerate(s2):
+            cur.append(min(prev[j + 1] + 1, cur[j] + 1, prev[j] + (c1 != c2)))
+        prev = cur
+    return prev[-1]
+
+
+def _damerau_levenshtein(s1: str, s2: str) -> int:
+    """Restricted Damerau-Levenshtein (optimal string alignment), the
+    variant StringDistances.jl implements (adjacent-transposition DP)."""
+    if s1 == s2:
+        return 0
+    l1, l2 = len(s1), len(s2)
+    if not l1:
+        return l2
+    if not l2:
+        return l1
+    d = [[0] * (l2 + 1) for _ in range(l1 + 1)]
+    for i in range(l1 + 1):
+        d[i][0] = i
+    for j in range(l2 + 1):
+        d[0][j] = j
+    for i in range(1, l1 + 1):
+        for j in range(1, l2 + 1):
+            cost = 0 if s1[i - 1] == s2[j - 1] else 1
+            d[i][j] = min(d[i - 1][j] + 1, d[i][j - 1] + 1, d[i - 1][j - 1] + cost)
+            if i > 1 and j > 1 and s1[i - 1] == s2[j - 2] and s1[i - 2] == s2[j - 1]:
+                d[i][j] = min(d[i][j], d[i - 2][j - 2] + 1)
+    return d[l1][l2]
+
+
+def _jaro(s1: str, s2: str) -> float:
+    """Jaro similarity in [0,1]."""
+    if s1 == s2:
+        return 1.0
+    l1, l2 = len(s1), len(s2)
+    if not l1 or not l2:
+        return 0.0
+    window = max(l1, l2) // 2 - 1
+    if window < 0:
+        window = 0
+    flags2 = [False] * l2
+    matches1 = []
+    for i, c in enumerate(s1):
+        lo = max(0, i - window)
+        hi = min(l2, i + window + 1)
+        for j in range(lo, hi):
+            if not flags2[j] and s2[j] == c:
+                flags2[j] = True
+                matches1.append(c)
+                break
+    m = len(matches1)
+    if m == 0:
+        return 0.0
+    matches2 = [s2[j] for j in range(l2) if flags2[j]]
+    t = sum(a != b for a, b in zip(matches1, matches2)) / 2.0
+    return (m / l1 + m / l2 + (m - t) / m) / 3.0
+
+
+def _jaro_winkler(s1: str, s2: str, prefix_weight: float = 0.1, boost_threshold: float = 0.7) -> float:
+    """Jaro-Winkler similarity (prefix scale 0.1, max prefix 4, Winkler's
+    0.7 boost threshold — matches DuckDB's jaro_winkler_similarity, which
+    tests use as an independent cross-check)."""
+    jaro = _jaro(s1, s2)
+    if jaro <= boost_threshold:
+        return jaro
+    prefix = 0
+    for a, b in zip(s1[:4], s2[:4]):
+        if a != b:
+            break
+        prefix += 1
+    return jaro + prefix * prefix_weight * (1.0 - jaro)
+
+
+def _ratcliff_obershelp(s1: str, s2: str) -> float:
+    """Gestalt pattern-matching similarity (difflib ratio, autojunk off)."""
+    if s1 == s2:
+        return 1.0
+    if not s1 or not s2:
+        return 0.0
+    return SequenceMatcher(None, s1, s2, autojunk=False).ratio()
+
+
+def py_distance(metric: str, v1: str | None, v2: str | None) -> float:
+    """Normalized distance in [0,1]; missing on either side => 1.0.
+
+    Exact analogue of distances.jl:14-18 — used by the sequential oracle
+    in tests and by the pandas-UDF kernels below.
+    """
+    if v1 is None or v2 is None:
+        return 1.0
+    if metric == "levenshtein":
+        m = max(len(v1), len(v2))
+        return _levenshtein(v1, v2) / m if m else 0.0
+    if metric == "dameraulevenshtein":
+        m = max(len(v1), len(v2))
+        return _damerau_levenshtein(v1, v2) / m if m else 0.0
+    if metric == "jaro":
+        return 1.0 - _jaro(v1, v2)
+    if metric == "jarowinkler":
+        return 1.0 - _jaro_winkler(v1, v2)
+    if metric == "ratcliffobershelp":
+        return 1.0 - _ratcliff_obershelp(v1, v2)
+    raise ValueError(f"unknown metric {metric!r}")
+
+
+# ---------------------------------------------------------------------------
+# Spark column builders
+# ---------------------------------------------------------------------------
+
+
+def normalized_levenshtein_column(a: Column, b: Column) -> Column:
+    """Normalized Levenshtein as a pure Catalyst expression (JVM-side,
+    whole-stage codegen; never touches Python).
+
+    null on either side => 1.0; both empty => 0.0.
+    """
+    maxlen = F.greatest(F.length(a), F.length(b))
+    d = (
+        F.when(a.isNull() | b.isNull(), F.lit(1.0))
+        .when(maxlen == 0, F.lit(0.0))
+        .otherwise(F.levenshtein(a, b).cast(DoubleType()) / maxlen.cast(DoubleType()))
+    )
+    return d
+
+
+def _make_pandas_kernel(metric: str):
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(DoubleType())
+    def kernel(a: pd.Series, b: pd.Series) -> pd.Series:
+        # Memoize within the batch: linkage columns are heavily repeated
+        # (common names / common conversation prefixes), so the cache hit
+        # rate inside a 10k-row Arrow batch is high.
+        cache: dict[tuple[str, str], float] = {}
+        out = []
+        for v1, v2 in zip(a, b):
+            if v1 is None or v2 is None or v1 != v1 or v2 != v2:  # None or NaN
+                out.append(1.0)
+                continue
+            key = (v1, v2)
+            d = cache.get(key)
+            if d is None:
+                d = py_distance(metric, v1, v2)
+                cache[key] = d
+            out.append(d)
+        return pd.Series(out, dtype="float64")
+
+    return kernel
+
+
+_KERNEL_CACHE: dict[str, object] = {}
+
+
+def distance_column(metric: str, a: Column, b: Column) -> Column:
+    """Normalized-distance Column for any supported metric.
+
+    Dispatch: levenshtein stays JVM-side (codegen); everything else is an
+    Arrow-batched pandas UDF.
+    """
+    if metric == "levenshtein":
+        return normalized_levenshtein_column(a, b)
+    if metric not in {"jaro", "jarowinkler", "dameraulevenshtein", "ratcliffobershelp"}:
+        raise ValueError(f"unknown metric {metric!r}")
+    if metric not in _KERNEL_CACHE:
+        _KERNEL_CACHE[metric] = _make_pandas_kernel(metric)
+    return _KERNEL_CACHE[metric](a, b)

@@ -1,0 +1,167 @@
+"""Criteria passes: link event records to the spine (operators O9-O12).
+
+Reference semantics being reproduced (SURVEY.md §2.4/§2.5, all from
+/root/reference/src/runlinkage.jl):
+
+- O9  exact probe: string equality on every (datacolumn -> spinecolumn)
+  pair; any missing event-side key value skips the criterion for that row
+  (runlinkage.jl:378-385). SQL ``=`` inside an inner equi-join is
+  null-rejecting, which implements the skip exactly.
+- O10 approx scoring: every ApproxMatch must individually satisfy
+  ``d <= threshold`` (runlinkage.jl:259-268).
+- O11 best candidate: argmin of the SUM of distances; ties -> earliest
+  spine row (strict ``>=`` rejection at runlinkage.jl:271); total distance
+  must additionally be < 1.0 (initialization artifact,
+  runlinkage.jl:255,271). Exact-only criteria: link iff EXACTLY ONE
+  candidate (ambiguity rejection, runlinkage.jl:250-252).
+- O12 first-criteria-wins: criteria are tried in config order and the
+  first satisfied one wins (runlinkage.jl:216,240).
+
+Execution strategy (Spark-first, not a port): because the spine is FROZEN
+during a table's link step (entity creation is a separate stage — see
+spine.py), every criteria pass depends only on (events, spine). So all
+passes are built as ONE lazy DAG — per-criteria broadcast-hash-joins
+unioned together — and first-criteria-wins becomes a single window
+``row_number() over (partition by EventId order by CriteriaId) = 1``.
+Catalyst schedules the per-criteria joins concurrently; there is no
+driver-side barrier between criteria. The spine side is explicitly
+broadcast (it is orders of magnitude smaller than the event table), so
+the event table is never shuffled at all during linkage — the only wide
+exchange is the final window, partitioned by the high-cardinality
+EventId.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import LinkageCriteria
+from ..functions.distances import distance_column
+
+LINK_COLUMNS = ("TableName", "EventId", "EntityId", "CriteriaId")
+
+
+def _spine_alias(spine: DataFrame, broadcast: bool) -> DataFrame:
+    sp = F.broadcast(spine) if broadcast else spine
+    return sp
+
+
+def criteria_pass(
+    events: DataFrame,
+    spine: DataFrame,
+    crit: LinkageCriteria,
+    broadcast_spine: bool = True,
+) -> DataFrame:
+    """One criteria-set -> candidate links ``(EventId, EntityId, CriteriaId)``.
+
+    ``events`` needs ``EventId`` + the criteria's data columns; ``spine``
+    needs ``EntityId``, ``spine_seq`` (deterministic creation-order
+    surrogate used for tie-breaking) + the criteria's spine columns.
+    """
+    ev = events.alias("ev")
+    sp = _spine_alias(spine, broadcast_spine).alias("sp")
+
+    if not crit.exactmatch:
+        raise ValueError(
+            f"criteria {crit.id}: approx-only criteria would require a full "
+            "cross join of events x spine; the reference always blocks on at "
+            "least one exact key and so do we"
+        )
+
+    cond = None
+    for dc, sc in crit.exactmatch.items():
+        c = F.col(f"ev.{dc}") == F.col(f"sp.{sc}")
+        cond = c if cond is None else (cond & c)
+
+    cand = ev.join(sp, cond, "inner")
+
+    if crit.approxmatch:
+        total = F.lit(0.0)
+        for i, am in enumerate(crit.approxmatch):
+            d = distance_column(
+                am.distancemetric, F.col(f"ev.{am.datacolumn}"), F.col(f"sp.{am.spinecolumn}")
+            )
+            cand = cand.withColumn(f"_d{i}", d)
+            total = total + F.col(f"_d{i}")
+        cand = cand.withColumn("_total", total)
+        # per-column thresholds (all must pass) + the <1.0 total rule
+        for i, am in enumerate(crit.approxmatch):
+            cand = cand.filter(F.col(f"_d{i}") <= F.lit(am.threshold))
+        cand = cand.filter(F.col("_total") < 1.0)
+        # best candidate: min total distance, ties -> earliest spine row
+        w = Window.partitionBy(F.col("ev.EventId")).orderBy(
+            F.col("_total").asc(), F.col("sp.spine_seq").asc(), F.col("sp.EntityId").asc()
+        )
+        best = cand.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    else:
+        # exact-only: link iff exactly one candidate (ambiguity rejection)
+        w = Window.partitionBy(F.col("ev.EventId"))
+        best = cand.withColumn("_n", F.count(F.lit(1)).over(w)).filter(F.col("_n") == 1)
+
+    return best.select(
+        F.col("ev.EventId").alias("EventId"),
+        F.col("sp.EntityId").alias("EntityId"),
+        F.lit(crit.id).alias("CriteriaId"),
+    )
+
+
+def link_table(
+    events: DataFrame,
+    spine: DataFrame,
+    criteria: list[LinkageCriteria],
+    tablename: str,
+    broadcast_spine: bool = True,
+) -> DataFrame:
+    """All criteria passes for one table, first-criteria-wins (O12).
+
+    Returns the links frame ``(TableName, EventId, EntityId, CriteriaId)``
+    (/root/reference/src/runlinkage.jl:61 shape). Built as a single lazy
+    plan: union of per-criteria candidate links + one window keeping the
+    lowest CriteriaId per event.
+    """
+    per_crit = [criteria_pass(events, spine, c, broadcast_spine) for c in criteria]
+    if not per_crit:
+        raise ValueError(f"no criteria for table {tablename}")
+    allc = per_crit[0]
+    for p in per_crit[1:]:
+        allc = allc.unionByName(p)
+
+    w = Window.partitionBy("EventId").orderBy(F.col("CriteriaId").asc())
+    return (
+        allc.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.lit(tablename).alias("TableName"),
+            "EventId",
+            "EntityId",
+            "CriteriaId",
+        )
+    )
+
+
+def valid_events(
+    events: DataFrame,
+    pk_cols: list[str],
+    entityid_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-validity filter (O6, runlinkage.jl:136-154): drop rows missing
+    any primary-key column, and — when entity creation is enabled — rows
+    missing any construct_entityid_from column are still *linkable* but
+    not *spine-appendable*; the caller applies the second filter only at
+    entity-formation time."""
+    out = events
+    for c in pk_cols:
+        out = out.filter(F.col(c).isNotNull())
+    if entityid_cols:
+        for c in entityid_cols:
+            out = out.filter(F.col(c).isNotNull())
+    return out
+
+
+def dedup_events(events: DataFrame, order_col: str = "conv_id") -> DataFrame:
+    """O7: first occurrence of each EventId wins. The reference's "file
+    order" does not exist in a distributed scan, so order is defined by a
+    deterministic column (default: the natural key)."""
+    w = Window.partitionBy("EventId").orderBy(F.col(order_col).asc())
+    return events.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")

@@ -1,0 +1,96 @@
+"""Transcripts -> per-conversation records (stage-1 aggregation).
+
+The reference consumes one row per *event* (/root/reference/README.md:9-19);
+our payload is multi-turn transcripts, so one upstream stage aggregates
+turns into a single record per conversation under **stable turn ordering**
+(the per-row invariant from BASELINE.json input_hint: per-turn text
+equality must hold after aggregation).
+
+Implementation is a single shuffle: ``groupBy(conv_id)`` with
+``sort_array(collect_list(struct(turn_idx, ...)))`` — the struct puts
+``turn_idx`` first so ``sort_array`` yields deterministic per-turn order
+without a second shuffle or a window. All derived linkage columns are
+array expressions over the sorted struct array (JVM-side, no UDFs).
+
+Scale note: this is the only full shuffle of the raw 10^12-turn table.
+conv_id is a high-cardinality key, so the shuffle partitions evenly; a
+conversation's turns (3-12 rows) always fit in one aggregation buffer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Surrogate EventId (operator O5): 64-bit content hash of table name +
+#: primary key, the analogue of /root/reference/src/runlinkage.jl:131-142
+#: (hash(tablename * join(pk values))). xxhash64 is Spark-native (JVM).
+def event_id(tablename: str, *pk_cols: Column) -> Column:
+    return F.xxhash64(F.lit(tablename), *pk_cols)
+
+
+def _default_extractors() -> dict[str, Column]:
+    """Linkage-field extractors for the synthetic identity sentence
+    ``hello my name is <firstname> <lastname> <dob>`` (turn 0)."""
+    toks = F.split(F.col("first_user_text"), " ")
+    dob = F.element_at(toks, 7)
+    return {
+        "firstname": F.element_at(toks, 5),
+        "lastname": F.element_at(toks, 6),
+        "birthdate": F.when(dob == "unknown", F.lit(None).cast("string")).otherwise(dob),
+    }
+
+
+def conversation_records(
+    transcripts: DataFrame,
+    tablename: str = "transcripts",
+    extractors: dict[str, Column] | None = None,
+    norm_text_prefix: int = 256,
+) -> DataFrame:
+    """Aggregate a transcripts table into one record per conversation.
+
+    Output columns (FIXTURES.md F2):
+      conv_id, EventId, turns (sorted struct array), n_turns,
+      first_user_text, norm_text, ts_min, + extracted linkage columns.
+    """
+    turn_struct = F.struct(
+        F.col("turn_idx"), F.col("role"), F.col("text"), F.col("tool"), F.col("ts")
+    )
+    rec = transcripts.groupBy("conv_id").agg(
+        F.sort_array(F.collect_list(turn_struct)).alias("turns")
+    )
+
+    texts = F.transform(F.col("turns"), lambda t: t["text"])
+    user_turns = F.filter(F.col("turns"), lambda t: t["role"] == F.lit("user"))
+    rec = rec.select(
+        "conv_id",
+        event_id(tablename, F.col("conv_id")).alias("EventId"),
+        "turns",
+        F.size(F.col("turns")).alias("n_turns"),
+        F.element_at(F.transform(user_turns, lambda t: t["text"]), 1).alias("first_user_text"),
+        # normalized text for hash blocks: lowercased concatenation,
+        # truncated so the blocking key stays bounded at transcript scale
+        F.substring(
+            F.lower(F.concat_ws(" ", texts)), 1, norm_text_prefix
+        ).alias("norm_text"),
+        F.array_min(F.transform(F.col("turns"), lambda t: t["ts"])).alias("ts_min"),
+    )
+
+    ex = _default_extractors() if extractors is None else extractors
+    for name, col in ex.items():
+        rec = rec.withColumn(name, col)
+    return rec
+
+
+def explode_records(records: DataFrame) -> DataFrame:
+    """Inverse of the aggregation (for the per-turn-equality invariant
+    test): records -> one row per turn, original schema + conv_id."""
+    t = F.explode(F.col("turns")).alias("t")
+    return records.select("conv_id", t).select(
+        "conv_id",
+        F.col("t.turn_idx").alias("turn_idx"),
+        F.col("t.role").alias("role"),
+        F.col("t.text").alias("text"),
+        F.col("t.tool").alias("tool"),
+        F.col("t.ts").alias("ts"),
+    )

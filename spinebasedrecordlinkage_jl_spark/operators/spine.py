@@ -1,0 +1,286 @@
+"""Entity formation: connected components -> spine rows (operator O13).
+
+The reference creates entities *sequentially*: an unlinked event row is
+appended to the in-memory spine, the hash indexes are updated, and the
+row is re-linked (guaranteed self-link) — /root/reference/src/
+runlinkage.jl:168-176,283-294. Later rows can then link to the entity it
+just created, which makes entity membership TRANSITIVE across fuzzy
+matches ("a~b" appended first, then "c~b" links to it).
+
+That algorithm is inherently order-dependent and single-threaded. The
+Spark-native equivalent is order-free: build the match-pair graph among
+unlinked records (same criteria semantics), run connected components, and
+make one spine row per component with a deterministic representative
+(minimum EventId). BASELINE.json's pairwise-F1 >= 0.99 tolerance exists
+exactly for this order-dependence gap; deterministic tie-breaking keeps
+the remaining divergence to pathological chains.
+
+Connected components uses the alternating large-star/small-star
+contraction of Kiveris et al., "Connected Components in MapReduce and
+Beyond" (SOCC'14) — O(log^2 n) rounds worst-case, 2-3 rounds on typical
+linkage graphs whose components are small and dense. Each round is two
+shuffles (groupBy min + join); lineage is cut per round with
+localCheckpoint so the plan does not grow exponentially.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import LinkageCriteria
+from ..functions.distances import distance_column
+
+# ---------------------------------------------------------------------------
+# Connected components (large-star / small-star)
+# ---------------------------------------------------------------------------
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """large-star: for every node u, connect all strictly-larger
+    neighbors to min(N(u) ∪ {u})."""
+    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    mins = sym.groupBy("src").agg(F.min("dst").alias("_mn"))
+    m = F.least(F.col("src"), F.col("_mn")).alias("_m")
+    out = (
+        sym.join(mins, "src")
+        .select("src", "dst", m)
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return out
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """small-star: orient edges toward smaller ids; connect each node's
+    smaller neighbors (and itself) to the minimum of that set."""
+    oriented = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+        )
+        .distinct()
+    )
+    mins = oriented.groupBy("src").agg(F.min("dst").alias("_m"))
+    e1 = (
+        oriented.join(mins, "src")
+        .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+    )
+    e2 = mins.select(F.col("src"), F.col("_m").alias("dst"))
+    return e1.union(e2).filter(F.col("src") != F.col("dst")).distinct()
+
+
+def connected_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
+    """edges(src:long, dst:long) -> components(id:long, component:long).
+
+    ``component`` is the minimum node id of each component. Nodes that
+    only appear as isolated vertices are the caller's concern (left-join
+    + coalesce with their own id).
+    """
+    e = edges.select(F.col("src").cast("long"), F.col("dst").cast("long")).filter(
+        F.col("src") != F.col("dst")
+    )
+    e = e.localCheckpoint(eager=True)
+
+    def checksum(df: DataFrame) -> tuple[int, int]:
+        row = df.agg(
+            F.count(F.lit(1)).alias("c"),
+            F.coalesce(F.expr("bit_xor(xxhash64(src, dst))"), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return int(row["c"]), int(row["h"])
+
+    prev = None
+    for _ in range(max_iter):
+        e = _large_star(e)
+        e = _small_star(e)
+        e = e.localCheckpoint(eager=True)
+        cur = checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+    # Fixpoint edges form stars (node -> component min). The roots
+    # themselves are members of their own component.
+    members = e.select(F.col("src").alias("id"), F.col("dst").alias("component"))
+    roots = e.select(F.col("dst").alias("id"), F.col("dst").alias("component")).distinct()
+    return members.union(roots).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Match-pair graph among unlinked records
+# ---------------------------------------------------------------------------
+
+
+def match_pairs(
+    records: DataFrame,
+    crit: LinkageCriteria,
+    max_block_size: int | None = 10_000,
+) -> DataFrame:
+    """Undirected match edges (src,dst EventIds) among records under one
+    criteria-set, evaluated record-vs-record: the left side plays the
+    event role (datacolumn), the right side the appended-spine role
+    (spinecolumn) — matching append_row_to_spine! column copying
+    (/root/reference/src/runlinkage.jl:283-294).
+
+    Blocking = the criteria's own exactmatch key. Oversized blocks are
+    purged (see blocking.candidate_pairs rationale).
+    """
+    if not crit.exactmatch:
+        raise ValueError(f"criteria {crit.id}: entity formation requires an exact key")
+
+    a = records.alias("a")
+    b = records.alias("b")
+
+    # non-null exact keys on both roles
+    for dc, sc in crit.exactmatch.items():
+        a = a.filter(F.col(dc).isNotNull())
+        b = b.filter(F.col(sc).isNotNull())
+
+    # block purge on the event-role key
+    if max_block_size is not None:
+        key_cols = list(crit.exactmatch.keys())
+        sizes = records.groupBy(*key_cols).agg(F.count("*").alias("_bs"))
+        big = sizes.filter(F.col("_bs") > max_block_size).select(*key_cols)
+        a = a.join(F.broadcast(big), key_cols, "left_anti")
+
+    cond = None
+    for dc, sc in crit.exactmatch.items():
+        c = F.col(f"a.{dc}") == F.col(f"b.{sc}")
+        cond = c if cond is None else (cond & c)
+    cond = cond & (F.col("a.EventId") != F.col("b.EventId"))
+
+    cand = a.join(b, cond, "inner")
+    for i, am in enumerate(crit.approxmatch):
+        d = distance_column(
+            am.distancemetric, F.col(f"a.{am.datacolumn}"), F.col(f"b.{am.spinecolumn}")
+        )
+        cand = cand.withColumn(f"_d{i}", d).filter(F.col(f"_d{i}") <= F.lit(am.threshold))
+    if crit.approxmatch:
+        total = sum((F.col(f"_d{i}") for i in range(len(crit.approxmatch))), F.lit(0.0))
+        cand = cand.filter(total < 1.0)
+
+    return cand.select(
+        F.least(F.col("a.EventId"), F.col("b.EventId")).alias("src"),
+        F.greatest(F.col("a.EventId"), F.col("b.EventId")).alias("dst"),
+    ).distinct()
+
+
+def _exact_complete_cond(crit: LinkageCriteria):
+    """All exact-key event-side columns non-null — the reference's
+    n_hasmissing bookkeeping counts a criterion as 'skipped' only when its
+    exact KEY has a missing value (constructkey! early return,
+    runlinkage.jl:378-385,220-223)."""
+    cond = F.lit(True)
+    for c in crit.exactmatch.keys():
+        cond = cond & F.col(c).isNotNull()
+    return cond
+
+
+def _full_complete_cond(crit: LinkageCriteria):
+    """Exact key AND approx data columns non-null. A freshly appended
+    spine row self-links only via a criterion whose approx columns are
+    present on both sides (missing vs missing has distance 1.0,
+    distances.jl:15-16, which fails any threshold < 1)."""
+    cond = _exact_complete_cond(crit)
+    for am in crit.approxmatch:
+        cond = cond & F.col(am.datacolumn).isNotNull()
+    return cond
+
+
+def form_entities(
+    unlinked: DataFrame,
+    criteria: list[LinkageCriteria],
+    construct_entityid_from: list[str],
+    spine_columns: list[str],
+    tablename: str,
+    max_block_size: int | None = 10_000,
+    order_col: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Create entities from unlinked records -> ``(new_spine_rows, links)``.
+
+    - eligibility: at least one criterion has complete event-side data
+      (runlinkage.jl:169: ``n_hasmissing < n_criteria``); rows missing any
+      ``construct_entityid_from`` column were already dropped upstream
+      (O6, runlinkage.jl:146-151).
+    - edges: union of match_pairs over all the table's criteria (a later
+      row may join an entity created under any criterion).
+    - spine row per component: representative = min EventId;
+      ``EntityId = xxhash64(construct_entityid_from...)`` of the
+      representative (runlinkage.jl:293); ``spine_seq`` = representative
+      EventId (deterministic creation-order surrogate for tie-breaks).
+    - links: every member -> its component's entity, CriteriaId = first
+      criterion with complete data (the guaranteed re-link of
+      runlinkage.jl:175).
+    """
+    elig_cond = F.lit(False)
+    for c in criteria:
+        elig_cond = elig_cond | _exact_complete_cond(c)
+    eligible = unlinked.filter(elig_cond)
+
+    edges = None
+    for c in criteria:
+        p = match_pairs(eligible, c, max_block_size=max_block_size)
+        edges = p if edges is None else edges.union(p)
+    edges = edges.distinct()
+
+    comp = connected_components(edges)  # (id, component)
+
+    members = eligible.join(
+        comp.withColumnRenamed("id", "EventId"), "EventId", "left"
+    ).withColumn("component", F.coalesce(F.col("component"), F.col("EventId")))
+
+    # Representative record per component: first in natural-key order
+    # (the reference's spine row carries the FIRST record's values —
+    # append_row_to_spine! copies the appending row, runlinkage.jl:283-294
+    # — and 'first' in a distributed scan is defined by the natural key,
+    # not file order). EventId breaks any remaining tie deterministically.
+    from pyspark.sql import Window
+
+    order = (
+        [F.col(order_col).asc(), F.col("EventId").asc()]
+        if order_col and order_col in members.columns
+        else [F.col("EventId").asc()]
+    )
+    w = Window.partitionBy("component").orderBy(*order)
+    reps = members.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+
+    entity_id = F.xxhash64(*[F.col(c) for c in construct_entityid_from])
+    rep_cols = [c for c in spine_columns if c != "EntityId" and c in reps.columns]
+    new_spine = reps.select(
+        entity_id.alias("EntityId"),
+        F.col("EventId").alias("spine_seq"),
+        F.col("component").alias("_component"),
+        *[F.col(c) for c in rep_cols],
+    )
+
+    # Self-link CriteriaId: first criterion with FULLY complete data
+    # (the guaranteed relink of runlinkage.jl:175 succeeds via the first
+    # criterion whose exact key AND approx columns are present). Members
+    # with no such criterion created/joined a spine row but stay unlinked
+    # — a faithful edge case of the reference.
+    crit_id = None
+    for c in sorted(criteria, key=lambda c: c.id, reverse=True):
+        crit_id = F.when(_full_complete_cond(c), F.lit(c.id)).otherwise(
+            crit_id if crit_id is not None else F.lit(None)
+        )
+
+    links = (
+        members.join(
+            new_spine.select("_component", "EntityId"),
+            members["component"] == F.col("_component"),
+            "inner",
+        )
+        .withColumn("_cid", crit_id.cast("int"))
+        .filter(F.col("_cid").isNotNull())
+        .select(
+            F.lit(tablename).alias("TableName"),
+            "EventId",
+            "EntityId",
+            F.col("_cid").alias("CriteriaId"),
+        )
+    )
+    return new_spine.drop("_component"), links

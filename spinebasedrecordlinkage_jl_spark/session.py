@@ -1,0 +1,69 @@
+"""SparkSession factory tuned for the linkage workload.
+
+Defaults target local[N] testing but every knob that matters at cluster
+scale (AQE, skew-join splitting, broadcast threshold, shuffle partitions,
+Arrow batching for pandas UDFs) is set explicitly so the same code ships
+unchanged via spark-submit --py-files to a multi-executor cluster.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Arrow batch size balances pandas-UDF overhead against executor memory;
+# 10k rows/batch keeps string-distance batches well under 64 MB even with
+# long transcript texts.
+_ARROW_BATCH = "10000"
+
+
+def get_spark(
+    app_name: str = "spinelink",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-appropriate defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (32 in the
+    sandbox); on a real cluster pass ``None`` after configuring master
+    via spark-submit and the builder will inherit it.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = os.environ.get("SPINELINK_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPINELINK_SHUFFLE_PARTITIONS", cpus))
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        # Adaptive execution: runtime coalescing of small shuffle
+        # partitions and skew-join splitting — the north rule requires
+        # explicit skew handling; AQE is the first line of defense,
+        # salted blocks (blocking.py) the second.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # The spine is small relative to events — make sure Catalyst
+        # broadcasts it (we also force F.broadcast at call sites).
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Arrow for pandas UDFs (vectorized scoring path).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", _ARROW_BATCH)
+        # Deterministic timestamps across engines (oracle parity).
+        .config("spark.sql.session.timeZone", "UTC")
+        # Permissive SQL semantics: element_at past the end of an array,
+        # division by zero etc. yield NULL rather than raising (Spark 4
+        # flips ANSI on by default; the reference's string-only engine has
+        # no failing casts to protect against).
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPINELINK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    if master:
+        b = b.master(master)
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

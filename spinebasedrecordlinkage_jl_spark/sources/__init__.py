@@ -1,0 +1,16 @@
+"""Input sources: table readers + deterministic synthetic transcripts."""
+
+from .readers import read_table, read_testdata
+from .transcripts import (
+    EVENTS_TO_TRANSCRIPTS_SQL,
+    synthesize_transcripts,
+    transcripts_from_events,
+)
+
+__all__ = [
+    "EVENTS_TO_TRANSCRIPTS_SQL",
+    "read_table",
+    "read_testdata",
+    "synthesize_transcripts",
+    "transcripts_from_events",
+]
