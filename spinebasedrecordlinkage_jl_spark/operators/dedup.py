@@ -1,0 +1,268 @@
+"""Deduplication operators for training-data pipelines.
+
+Five families, each a standard web-scale corpus-cleaning primitive:
+
+- exact (content-hash groupBy) — one shuffle on the hash
+- MinHash + LSH (shingle -> minhash signature -> band-bucket join) —
+  the banding join only ever compares near-candidates, so cost is
+  O(sum of bucket sizes squared), not O(n^2)
+- SimHash (near-dup via Hamming-adjacent fingerprints)
+- n-gram Jaccard (inverted shingle index join, exact similarity on the
+  LSH-style candidate set)
+- embedding cosine (see similarity.py)
+
+MinHash here uses the *min of md5(seed || shingle)* family: md5 imposes
+a pseudo-random total order per seed, so the min over a document's
+shingle set is a proper min-wise hash, AND the same expression exists
+verbatim in ANSI SQL — which is what lets the DuckDB oracle check the
+whole signature pipeline bit-for-bit. SimHash uses JVM xxhash64 bits
+(no portable SQL twin; validated against a NumPy reference in pytest).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup groups: content hash -> canonical (min) id + group size."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def _shingle_df(
+    df: DataFrame, text_col: str, id_col: str, n: int, max_chars: int
+) -> DataFrame:
+    """(id, shingle) rows: distinct character n-grams of the text prefix."""
+    prefix = F.substring(F.col(text_col), 1, max_chars)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(prefix) - (n - 1), F.lit(1)))
+    shingles = F.array_distinct(F.transform(idx, lambda i: prefix.substr(i, F.lit(n))))
+    return df.select(F.col(id_col).alias("id"), F.explode(shingles).alias("shingle"))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_n: int = 8,
+    max_chars: int = 100,
+) -> DataFrame:
+    """MinHash signature per document: h_k = min over shingles of
+    md5(k || shingle). Output: (id, h0..h{num_hashes-1})."""
+    sh = _shingle_df(df, text_col, id_col, shingle_n, max_chars)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(str(k)), F.col("shingle")))).alias(f"h{k}")
+        for k in range(num_hashes)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_bands(signatures: DataFrame, rows_per_band: int = 2) -> DataFrame:
+    """Signature -> (id, band_idx, band_hash) for LSH bucketing."""
+    hcols = sorted(
+        [c for c in signatures.columns if c.startswith("h")], key=lambda c: int(c[1:])
+    )
+    bands = []
+    for b in range(0, len(hcols), rows_per_band):
+        group = hcols[b : b + rows_per_band]
+        bands.append(
+            F.struct(
+                F.lit(b // rows_per_band).alias("band_idx"),
+                F.md5(F.concat(*[F.col(c) for c in group])).alias("band_hash"),
+            )
+        )
+    return signatures.select(
+        "id", F.explode(F.array(*bands)).alias("band")
+    ).select("id", F.col("band.band_idx").alias("band_idx"), F.col("band.band_hash").alias("band_hash"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    shingle_n: int = 8,
+    max_chars: int = 100,
+) -> DataFrame:
+    """Candidate near-duplicate pairs: documents sharing >=1 LSH band.
+    Output: (id_1 < id_2, n_shared_bands). Downstream may verify with
+    ngram_jaccard_pairs on the candidate set."""
+    bands = minhash_bands(
+        minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, max_chars),
+        rows_per_band,
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_1"), F.col("b.id").alias("id_2"))
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 8,
+    max_chars: int = 100,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity via an inverted shingle index:
+    explode distinct shingles -> self-join on shingle -> |A∩B| per pair
+    -> Jaccard with |A∪B| = |A|+|B|-|A∩B|. Output (id_1, id_2, jaccard).
+
+    Scale note: the shingle join is the candidate generator; pair cost
+    concentrates in high-document-frequency shingles. For 100 TB corpora
+    run minhash_lsh_pairs first and verify only candidates; this exact
+    operator is for block-sized inputs (and the LSH verification stage).
+    """
+    sh = _shingle_df(df, text_col, id_col, shingle_n, max_chars)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_1"), F.col("b.id").alias("id_2"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_1"), F.col("n_sh").alias("n_1"))
+    sb = sizes.select(F.col("id").alias("id_2"), F.col("n_sh").alias("n_2"))
+    return (
+        inter.join(sa, "id_1")
+        .join(sb, "id_2")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_1") + F.col("n_2") - F.col("n_inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_1", "id_2", "jaccard")
+    )
+
+
+def lsh_jaccard_verified(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.2,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    shingle_n: int = 8,
+    max_chars: int = 100,
+) -> DataFrame:
+    """The scalable near-dup pipeline: MinHash-LSH candidates -> exact
+    n-gram Jaccard verification on candidates only.
+
+    This is the 100 TB shape: the inverted-index self-join of
+    ngram_jaccard_pairs costs sum(df^2) over shingle document
+    frequencies (quadratic in hot shingles), while here the expensive
+    exact measure touches only LSH candidates. Verification uses each
+    side's distinct-shingle array (array_intersect — JVM) instead of
+    re-joining the inverted index. Output: (id_1, id_2, jaccard).
+    """
+    cands = minhash_lsh_pairs(
+        df, text_col, id_col, num_hashes, rows_per_band, shingle_n, max_chars
+    ).select("id_1", "id_2")
+    sets = (
+        _shingle_df(df, text_col, id_col, shingle_n, max_chars)
+        .groupBy("id")
+        .agg(F.collect_set("shingle").alias("sh"))
+    )
+    s1 = sets.select(F.col("id").alias("id_1"), F.col("sh").alias("sh_1"))
+    s2 = sets.select(F.col("id").alias("id_2"), F.col("sh").alias("sh_2"))
+    inter = F.size(F.array_intersect(F.col("sh_1"), F.col("sh_2")))
+    union = F.size("sh_1") + F.size("sh_2") - inter
+    return (
+        cands.join(s1, "id_1")
+        .join(s2, "id_2")
+        .withColumn("jaccard", F.round(inter.cast("double") / union.cast("double"), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_1", "id_2", "jaccard")
+    )
+
+
+def simhash(text: Column, bits: int = 64, shingle_n: int = 4, max_chars: int = 200) -> Column:
+    """SimHash fingerprint (JVM-only): per distinct shingle, xxhash64
+    supplies the bit pattern; each bit position accumulates +1/-1 votes;
+    the sign vector is packed back into a long.
+
+    Built entirely from array expressions (transform/aggregate/filter)
+    so it stays inside whole-stage codegen — no UDF.
+    """
+    prefix = F.substring(text, 1, max_chars)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(prefix) - (shingle_n - 1), F.lit(1)))
+    shingles = F.array_distinct(F.transform(idx, lambda i: prefix.substr(i, F.lit(shingle_n))))
+    hashes = F.transform(shingles, lambda s: F.xxhash64(s))
+    # votes[b] = count of shingles with bit b set; bit b of result set iff
+    # votes[b]*2 > n_shingles
+    n = F.size(hashes)
+    result = F.lit(0).cast("long")
+    for b in range(bits):
+        votes = F.size(
+            F.filter(hashes, lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1)
+        )
+        bit = F.when(votes * 2 > n, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        result = result.bitwiseOR(F.shiftleft(bit, b))
+    return result
+
+
+def simhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    band_bits: int = 16,
+) -> DataFrame:
+    """Near-dup candidates: docs whose simhash matches on >=1 of the
+    bits/band_bits bands (Hamming-distance LSH). Output (id_1, id_2,
+    hamming)."""
+    sh = df.select(
+        F.col(id_col).alias("id"), simhash(F.col(text_col), bits=bits).alias("sh")
+    )
+    n_bands = bits // band_bits
+    bands = sh.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftright(F.col("sh"), i * band_bits)
+                        .bitwiseAND(F.lit((1 << band_bits) - 1))
+                        .alias("band_val"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "sh", "band.band_idx", "band.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_1"),
+            F.col("b.id").alias("id_2"),
+            F.col("a.sh").bitwiseXOR(F.col("b.sh")).alias("x"),
+        )
+        .distinct()
+    )
+    return pairs.select("id_1", "id_2", F.bit_count("x").alias("hamming"))

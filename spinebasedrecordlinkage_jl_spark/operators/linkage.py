@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..config import LinkageCriteria
-from ..functions.distances import distance_column
+from ..functions.distances import attach_distance
 
 LINK_COLUMNS = ("TableName", "EventId", "EntityId", "CriteriaId")
 
@@ -79,10 +79,16 @@ def criteria_pass(
     if crit.approxmatch:
         total = F.lit(0.0)
         for i, am in enumerate(crit.approxmatch):
-            d = distance_column(
-                am.distancemetric, F.col(f"ev.{am.datacolumn}"), F.col(f"sp.{am.spinecolumn}")
+            # Python-metric scoring goes through distinct value pairs
+            # (attach_distance) so candidate rows never cross the Python
+            # boundary; levenshtein stays inline JVM.
+            cand = attach_distance(
+                cand,
+                am.distancemetric,
+                f"ev.{am.datacolumn}",
+                f"sp.{am.spinecolumn}",
+                f"_d{i}",
             )
-            cand = cand.withColumn(f"_d{i}", d)
             total = total + F.col(f"_d{i}")
         cand = cand.withColumn("_total", total)
         # per-column thresholds (all must pass) + the <1.0 total rule

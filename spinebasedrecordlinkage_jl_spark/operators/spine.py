@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import LinkageCriteria
-from ..functions.distances import distance_column
+from ..functions.distances import attach_distance
 
 # ---------------------------------------------------------------------------
 # Connected components (large-star / small-star)
@@ -115,6 +115,29 @@ def connected_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def exact_key_edges(records: DataFrame, crit: LinkageCriteria) -> DataFrame:
+    """Linear-cost edges for an EXACT-ONLY criterion: every record with a
+    complete key connects to a synthetic key node ``xxhash64('keynode',
+    crit.id-tag, key values...)`` instead of to every other record in its
+    block. Connected components over the bipartite record<->key graph are
+    identical to the pairwise version, but edge count is O(n) instead of
+    O(sum block^2) — hot blocks (the skew case) cost the same as cold
+    ones. This is what makes entity formation survive million-record
+    blocks at corpus scale; no purging needed on this path.
+
+    (Sequential-reference parity: records sharing a complete exact key
+    always end in one entity — the first appends, the rest self-link as
+    single candidates — so key-grouping is the exact set semantics.)
+    """
+    out = records
+    for dc in crit.exactmatch.keys():
+        out = out.filter(F.col(dc).isNotNull())
+    key_node = F.xxhash64(
+        F.lit("keynode"), F.lit(str(crit.id)), *[F.col(dc) for dc in crit.exactmatch.keys()]
+    )
+    return out.select(F.col("EventId").alias("src"), key_node.alias("dst"))
+
+
 def match_pairs(
     records: DataFrame,
     crit: LinkageCriteria,
@@ -155,10 +178,10 @@ def match_pairs(
 
     cand = a.join(b, cond, "inner")
     for i, am in enumerate(crit.approxmatch):
-        d = distance_column(
-            am.distancemetric, F.col(f"a.{am.datacolumn}"), F.col(f"b.{am.spinecolumn}")
+        cand = attach_distance(
+            cand, am.distancemetric, f"a.{am.datacolumn}", f"b.{am.spinecolumn}", f"_d{i}"
         )
-        cand = cand.withColumn(f"_d{i}", d).filter(F.col(f"_d{i}") <= F.lit(am.threshold))
+        cand = cand.filter(F.col(f"_d{i}") <= F.lit(am.threshold))
     if crit.approxmatch:
         total = sum((F.col(f"_d{i}") for i in range(len(crit.approxmatch))), F.lit(0.0))
         cand = cand.filter(total < 1.0)
@@ -223,7 +246,18 @@ def form_entities(
 
     edges = None
     for c in criteria:
-        p = match_pairs(eligible, c, max_block_size=max_block_size)
+        # exact-only criteria: linear key-node edges (skew-immune);
+        # fuzzy criteria: scored pairwise edges within the exact block
+        p = (
+            exact_key_edges(eligible, c)
+            if not c.approxmatch
+            else match_pairs(eligible, c, max_block_size=max_block_size)
+        )
+        # fresh output attributes per union branch: the branches share
+        # lineage (all derive from `eligible`), which trips Catalyst's
+        # Union constraint rewriting (NoSuchElementException on a reused
+        # attribute id) on Spark 4.1
+        p = p.select(F.col("src").alias("src"), F.col("dst").alias("dst"))
         edges = p if edges is None else edges.union(p)
     edges = edges.distinct()
 

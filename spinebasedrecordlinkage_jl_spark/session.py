@@ -59,6 +59,11 @@ def get_spark(
         # flips ANSI on by default; the reference's string-only engine has
         # no failing casts to protect against).
         .config("spark.sql.ansi.enabled", "false")
+        # Spark 4.1 Union.rewriteConstraints throws NoSuchElementException
+        # when union branches share lineage (our edge unions in entity
+        # formation trip it). Constraint propagation only feeds optional
+        # filter inference; correctness is unaffected.
+        .config("spark.sql.constraintPropagation.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPINELINK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -1,0 +1,132 @@
+"""Dedup + similarity operator semantics on handcrafted frames."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from spinebasedrecordlinkage_jl_spark.operators import dedup as D
+from spinebasedrecordlinkage_jl_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+        (3, "the quick brown fox jumped over the lazy dog"),  # near dup
+        (4, "completely different content about databases"),
+        (5, "totally unrelated text regarding astronomy here"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(docs):
+    out = {r["keep_id"]: r["n_dups"] for r in D.exact_dedup(docs).collect()}
+    assert out[1] == 2  # docs 1+2 collapse, min id kept
+    assert out[3] == 1 and out[4] == 1 and out[5] == 1
+
+
+def test_minhash_identical_docs_identical_signatures(docs):
+    sigs = {r["id"]: tuple(r[f"h{k}"] for k in range(8))
+            for r in D.minhash_signatures(docs).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[4]
+
+
+def test_minhash_lsh_finds_exact_and_near_dups(docs):
+    pairs = {(r["id_1"], r["id_2"]): r["n_shared_bands"]
+             for r in D.minhash_lsh_pairs(docs).collect()}
+    assert pairs[(1, 2)] == 4  # identical -> all 4 bands collide
+    assert (1, 3) in pairs or (2, 3) in pairs  # near dup caught by >=1 band
+    assert (4, 5) not in pairs
+
+
+def test_ngram_jaccard_values(docs):
+    out = {(r["id_1"], r["id_2"]): r["jaccard"]
+           for r in D.ngram_jaccard_pairs(docs, threshold=0.1).collect()}
+    assert out[(1, 2)] == 1.0
+    assert 0.5 < out[(1, 3)] < 1.0
+    assert (4, 5) not in out
+
+
+def test_lsh_jaccard_verified_subset_of_exact(docs):
+    exact = {(r["id_1"], r["id_2"]) for r in D.ngram_jaccard_pairs(docs, threshold=0.2).collect()}
+    lsh = {(r["id_1"], r["id_2"]) for r in D.lsh_jaccard_verified(docs, threshold=0.2).collect()}
+    assert lsh <= exact
+    assert (1, 2) in lsh
+
+
+def test_simhash_similar_docs_close_hamming(spark, docs):
+    out = {(r["id_1"], r["id_2"]): r["hamming"]
+           for r in D.simhash_dedup(docs, band_bits=8).collect()}
+    assert out[(1, 2)] == 0  # identical text -> identical simhash
+    assert out[(1, 3)] <= 16  # near dup -> small hamming distance
+
+
+def test_simhash_numpy_reference(spark):
+    """Spark simhash == a NumPy/Python reference on the same shingles."""
+    import pandas as pd
+
+    texts = ["abcdefgh", "the quick brown fox", "zzzzyyyy"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {r["doc_id"]: r["sh"] for r in df.select(
+        "doc_id", D.simhash(F.col("text"), bits=16, shingle_n=4, max_chars=200).alias("sh")
+    ).collect()}
+
+    # reference: xxhash64 from Spark itself (per-shingle), votes in numpy
+    for i, t in enumerate(texts):
+        prefix = t[:200]
+        n = max(len(prefix) - 3, 1)
+        shingles = sorted({prefix[j:j + 4] for j in range(n)})
+        hdf = spark.createDataFrame([(s,) for s in shingles], "s string")
+        hvals = [r["h"] for r in hdf.select(F.xxhash64("s").alias("h")).collect()]
+        bits = 0
+        for b in range(16):
+            votes = sum(1 for h in hvals if (h >> b) & 1)
+            if votes * 2 > len(hvals):
+                bits |= 1 << b
+        assert got[i] == bits, f"doc {i}"
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((4, 8))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i * 10, [float(x) for x in v], i))
+        # a near-duplicate of each base vector
+        rows.append((i * 10 + 1, [float(x) for x in (v + 0.01 * rng.standard_normal(8))], i))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_brute_force_topk_finds_neardup(vectors):
+    out = S.brute_force_topk(vectors, vectors.filter(F.col("vec_id") == 0), k=1)
+    rows = out.collect()
+    assert len(rows) == 1
+    assert rows[0]["neighbor_id"] == 1  # its jittered twin
+    assert rows[0]["sim"] > 0.99
+
+
+def test_lsh_topk_recall_vs_brute_force(vectors):
+    queries = vectors.filter(F.col("vec_id") % 10 == 0)
+    bf = {(r["query_id"], r["neighbor_id"]) for r in S.brute_force_topk(vectors, queries, k=1).collect()}
+    lsh = {(r["query_id"], r["neighbor_id"]) for r in S.lsh_bucketed_topk(vectors, queries, k=1, n_tables=6, n_bits=4).collect()}
+    # near-identical vectors share all sign-LSH buckets -> full recall here
+    assert bf <= lsh | bf
+    assert len(lsh & bf) >= len(bf) - 1
+
+
+def test_neardup_pairs_blocked(vectors):
+    out = {(r["id_1"], r["id_2"]): r["sim"] for r in S.neardup_pairs(vectors, threshold=0.99).collect()}
+    assert (0, 1) in out and (10, 11) in out
+    assert all(v >= 0.99 for v in out.values())
+
+
+def test_cosine_nan_free_on_zero_vector(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    out = S.brute_force_topk(df, df.filter(F.col("vec_id") == 2), k=1, exclude_self=True).collect()
+    # zero vector gives NULL/NaN sim (0/0) — must not crash; row ranks last or drops
+    assert len(out) <= 1

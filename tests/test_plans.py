@@ -1,0 +1,90 @@
+"""Physical-plan assertions: the optimizations we claim must be visible
+in the plans Catalyst actually produces (SURVEY.md §4)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spinebasedrecordlinkage_jl_spark.config import ApproxMatch, LinkageCriteria
+from spinebasedrecordlinkage_jl_spark.operators.linkage import criteria_pass
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+@pytest.fixture()
+def spine(spark):
+    return spark.createDataFrame(
+        [(1, 1, "a", "b")], "EntityId long, spine_seq long, firstname string, lastname string"
+    )
+
+
+@pytest.fixture()
+def events(spark):
+    return spark.createDataFrame([(1, "a", "b")], "EventId long, firstname string, lastname string")
+
+
+def test_spine_side_is_broadcast(spark, spine, events):
+    crit = LinkageCriteria(id=1, tablename="t", exactmatch={"firstname": "firstname"})
+    plan = _plan(criteria_pass(events, spine, crit))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_exact_pass_has_no_python_eval(spark, spine, events):
+    """Exact criteria must never leave the JVM (no ArrowEvalPython /
+    BatchEvalPython in the plan)."""
+    crit = LinkageCriteria(id=1, tablename="t", exactmatch={"firstname": "firstname"})
+    plan = _plan(criteria_pass(events, spine, crit))
+    assert "EvalPython" not in plan, plan
+
+
+def test_levenshtein_pass_stays_jvm(spark, spine, events):
+    crit = LinkageCriteria(
+        id=1,
+        tablename="t",
+        exactmatch={"firstname": "firstname"},
+        approxmatch=(ApproxMatch("lastname", "lastname", "levenshtein", 0.3),),
+    )
+    plan = _plan(criteria_pass(events, spine, crit))
+    assert "EvalPython" not in plan, plan
+    assert "levenshtein" in plan.lower()
+
+
+def test_python_metric_scored_on_distinct_pairs_only(spark, spine, events):
+    """Jaro-Winkler runs in Python, but only over the distinct-pair frame
+    (HashAggregate/distinct BELOW the ArrowEvalPython, broadcast back)."""
+    crit = LinkageCriteria(
+        id=1,
+        tablename="t",
+        exactmatch={"firstname": "firstname"},
+        approxmatch=(ApproxMatch("lastname", "lastname", "jarowinkler", 0.3),),
+    )
+    plan = _plan(criteria_pass(events, spine, crit))
+    assert "ArrowEvalPython" in plan or "EvalPython" in plan
+    # the python eval feeds a broadcast back into the candidate join
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+
+
+def test_parquet_scan_pushes_filters_and_prunes_columns(spark, sf_dir):
+    df = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_totalprice") > 100000)
+        .select("o_orderkey", "o_custkey")
+    )
+    plan = _plan(df)
+    # (no IsNotNull: constraint propagation is disabled — session.py)
+    assert "GreaterThan(o_totalprice,100000.0)" in plan.split("PushedFilters")[1].split("\n")[0], plan
+    assert "o_orderdate" not in plan.split("ReadSchema")[1].split("\n")[0], plan
+
+
+def test_records_aggregation_single_shuffle(spark):
+    """conversation_records must shuffle exactly once (the groupBy) —
+    sort_array replaces a window+sort second exchange."""
+    from spinebasedrecordlinkage_jl_spark.operators.records import conversation_records
+    from spinebasedrecordlinkage_jl_spark.sources.transcripts import synthesize_transcripts
+
+    t, _ = synthesize_transcripts(spark, n_entities=5)
+    plan = _plan(conversation_records(t))
+    assert plan.count("Exchange") <= 2, plan  # hashpartitioning + (AQE reads)
