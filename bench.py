@@ -125,8 +125,16 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm the JVM/Arrow paths once so per-query numbers measure the
-    # queries, not first-call initialization
+    # queries, not first-call initialization (incl. pre-spawning the
+    # Python worker pool for the pandas kernels)
     QUERIES["token_counts"](spark, sf_dir).count()
+    from pyspark.sql import functions as F
+
+    from spinebasedrecordlinkage_jl_spark.functions.distances import distance_column
+
+    spark.range(100000).select(
+        F.sum(distance_column("jarowinkler", F.lit("warm"), F.lit("worm")))
+    ).collect()
 
     per_query: dict[str, float] = {}
     total = 0.0

@@ -44,14 +44,16 @@ def worker(cores: int, n_entities: int) -> None:
 
 
 def main() -> None:
-    n_entities = int(sys.argv[1]) if len(sys.argv) > 1 else 60000
+    n_entities = int(sys.argv[1]) if len(sys.argv) > 1 else 1_200_000
     results = {}
     for cores in (8, 32):
         proc = subprocess.run(
             [sys.executable, __file__, "--worker", str(cores), str(n_entities)],
             capture_output=True,
             text=True,
-            env={**os.environ},
+            # plenty of heap: the input corpus is localCheckpointed into
+            # the block manager so both levels measure pure compute
+            env={**os.environ, "SPINELINK_DRIVER_MEM": "48g"},
         )
         line = [l for l in proc.stdout.splitlines() if l.startswith("SCALEJSON ")]
         if not line:

@@ -1,0 +1,130 @@
+"""Command-line entry points, mirroring the reference's exported surface
+(/root/reference/src/SpineBasedRecordLinkage.jl:3 and scripts/*.jl):
+
+    python -m spinebasedrecordlinkage_jl_spark.cli run <config.toml> [--resume]
+    python -m spinebasedrecordlinkage_jl_spark.cli summarise <run_dir> <outfile.csv>
+    python -m spinebasedrecordlinkage_jl_spark.cli compare <run_dir1> <run_dir2> <outfile.csv>
+
+Deployment: ship the package via ``spark-submit --py-files spinelink.zip
+cli.py run config.toml`` — the driver loop is the only Python that runs
+on the driver; all data movement is Spark jobs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+
+from .config import load_config
+from .operators.records import conversation_records
+from .operators.reporting import compare_event_tables, compare_spines, summarise_run
+from .plans.run_linkage import run_linkage
+from .session import get_spark
+from .sources.readers import read_table
+
+
+def _load_records(spark: SparkSession, config):
+    records = {}
+    for name, t in config.tables.items():
+        df = read_table(spark, t.datafile)
+        if {"conv_id", "turn_idx", "text"}.issubset(set(df.columns)):
+            df = conversation_records(df, tablename=name)
+        records[name] = df
+    return records
+
+
+def cmd_run(args) -> int:
+    config = load_config(args.config)
+    spark = get_spark(f"spinelink:{config.projectname}")
+    run = run_linkage(spark, config, _load_records(spark, config), resume=args.resume)
+    print(run.output_directory)
+    return 0
+
+
+def _load_run(spark: SparkSession, rundir: str):
+    out = Path(rundir) / "output"
+    spine = spark.read.parquet(str(out / "spine"))
+    links = spark.read.parquet(str(out / "links"))
+    events = {
+        p.name[len("events_") :]: spark.read.parquet(str(p))
+        for p in out.iterdir()
+        if p.name.startswith("events_")
+    }
+    return spine, links, events
+
+
+def _write_report(df, outfile: str) -> None:
+    # single CSV file like the reference's report sink (reporting.jl:265-281)
+    pdf = df.toPandas()
+    sep = "\t" if outfile.endswith(".tsv") else ","
+    pdf.to_csv(outfile, sep=sep, index=False)
+
+
+def cmd_summarise(args) -> int:
+    spark = get_spark("spinelink:summarise")
+    _, links, events = _load_run(spark, args.rundir)
+    import pandas as pd
+
+    parts = [
+        summarise_run(ev, links, tablename=t).toPandas() for t, ev in sorted(events.items())
+    ]
+    pd.concat(parts).to_csv(args.outfile, index=False)
+    print(args.outfile)
+    return 0
+
+
+def cmd_compare(args) -> int:
+    spark = get_spark("spinelink:compare")
+    spine1, links1, events1 = _load_run(spark, args.rundir1)
+    spine2, links2, events2 = _load_run(spark, args.rundir2)
+    import pandas as pd
+
+    parts = [
+        compare_spines(spine1, spine2)
+        .toPandas()
+        .assign(tablename="spine")[["tablename", "status1", "status2", "n"]]
+    ]
+    # true full-outer across table sets: tables present in either run are
+    # reported (the reference skips run-2-only tables, reporting.jl:67)
+    for t in sorted(set(events1) | set(events2)):
+        e1 = events1.get(t)
+        e2 = events2.get(t)
+        if e1 is None:
+            e1 = e2.limit(0)
+        if e2 is None:
+            e2 = e1.limit(0)
+        parts.append(compare_event_tables(e1, links1, e2, links2, t).toPandas())
+    pd.concat(parts).to_csv(args.outfile, index=False)
+    print(args.outfile)
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="spinelink")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("run", help="run a linkage config")
+    r.add_argument("config")
+    r.add_argument("--resume", action="store_true")
+    r.set_defaults(fn=cmd_run)
+
+    s = sub.add_parser("summarise", help="summarise one linkage run")
+    s.add_argument("rundir")
+    s.add_argument("outfile")
+    s.set_defaults(fn=cmd_summarise)
+
+    c = sub.add_parser("compare", help="compare two linkage runs")
+    c.add_argument("rundir1")
+    c.add_argument("rundir2")
+    c.add_argument("outfile")
+    c.set_defaults(fn=cmd_compare)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

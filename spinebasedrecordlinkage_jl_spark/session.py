@@ -13,9 +13,10 @@ import os
 from pyspark.sql import SparkSession
 
 # Arrow batch size balances pandas-UDF overhead against executor memory;
-# 10k rows/batch keeps string-distance batches well under 64 MB even with
-# long transcript texts.
-_ARROW_BATCH = "10000"
+# 64k rows/batch amortizes the JVM<->Python IPC round-trips for the
+# string-distance kernels while staying well under 64 MB per batch for
+# short linkage fields.
+_ARROW_BATCH = "65536"
 
 
 def get_spark(

@@ -1,0 +1,90 @@
+"""End-to-end CLI: run -> summarise -> compare, driving the same surface
+a spark-submit user would."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from spinebasedrecordlinkage_jl_spark import cli
+from spinebasedrecordlinkage_jl_spark.sources.transcripts import synthesize_transcripts
+
+CONFIG_TMPL = """
+projectname = "cli_e2e"
+output_directory = "{outdir}"
+append_to_spine = true
+construct_entityid_from = ["firstname", "lastname", "birthdate"]
+block_salt_buckets = 4
+[spine]
+datafile = ""
+columns = ["EntityId", "firstname", "lastname", "birthdate"]
+[[tables]]
+name = "transcripts"
+datafile = "{datafile}"
+primarykey = ["conv_id"]
+[[criteria]]
+tablename = "transcripts"
+[criteria.exactmatch]
+firstname = "firstname"
+lastname = "lastname"
+birthdate = "birthdate"
+[[criteria]]
+tablename = "transcripts"
+[criteria.exactmatch]
+firstname = "firstname"
+birthdate = "birthdate"
+[[criteria.approxmatch]]
+datacolumn = "lastname"
+spinecolumn = "lastname"
+distancemetric = "levenshtein"
+threshold = 0.3
+"""
+
+
+def _make_run(spark, tmp_path, tag, n=25):
+    transcripts, _ = synthesize_transcripts(spark, n_entities=n)
+    datafile = str(tmp_path / f"turns_{tag}.parquet")
+    transcripts.write.parquet(datafile)
+    outdir = str(tmp_path / f"run_{tag}")
+    cfg = tmp_path / f"cfg_{tag}.toml"
+    cfg.write_text(CONFIG_TMPL.format(outdir=outdir, datafile=datafile))
+    assert cli.main(["run", str(cfg)]) == 0
+    return outdir
+
+
+def test_cli_run_summarise_compare(spark, tmp_path):
+    run1 = _make_run(spark, tmp_path, "a", n=25)
+    run2 = _make_run(spark, tmp_path, "b", n=30)
+
+    out = spark.read.parquet(f"{run1}/output/spine")
+    assert out.count() > 0
+    links = spark.read.parquet(f"{run1}/output/links")
+    assert links.count() > 0
+    assert set(links.columns) == {"TableName", "EventId", "EntityId", "CriteriaId"}
+    crit = spark.read.parquet(f"{run1}/output/criteria")
+    assert crit.count() == 2
+
+    summary = str(tmp_path / "summary.csv")
+    assert cli.main(["summarise", run1, summary]) == 0
+    sdf = pd.read_csv(summary)
+    assert set(sdf.columns) == {"tablename", "status", "n"}
+    assert sdf["n"].sum() == spark.read.parquet(f"{run1}/output/events_transcripts").count()
+
+    cmp_out = str(tmp_path / "cmp.csv")
+    assert cli.main(["compare", run1, run2, cmp_out]) == 0
+    cdf = pd.read_csv(cmp_out)
+    assert set(cdf.columns) == {"tablename", "status1", "status2", "n"}
+    assert "spine" in set(cdf["tablename"])
+    # run2 has 5 extra entities: some events nonexistent in run 1
+    tt = cdf[cdf.tablename == "transcripts"]
+    assert (tt.status1 == "nonexistent").any()
+
+
+def test_cli_resume_flag(spark, tmp_path):
+    run1 = _make_run(spark, tmp_path, "r", n=10)
+    cfg = tmp_path / "cfg_r.toml"
+    # rerun with --resume: all stages complete -> identical outputs, no error
+    before = sorted(
+        map(tuple, spark.read.parquet(f"{run1}/output/links").collect())
+    )
+    assert cli.main(["run", str(cfg), "--resume"]) == 0
+    after = sorted(map(tuple, spark.read.parquet(f"{run1}/output/links").collect()))
+    assert before == after

@@ -52,9 +52,9 @@ def test_levenshtein_pass_stays_jvm(spark, spine, events):
     assert "levenshtein" in plan.lower()
 
 
-def test_python_metric_scored_on_distinct_pairs_only(spark, spine, events):
-    """Jaro-Winkler runs in Python, but only over the distinct-pair frame
-    (HashAggregate/distinct BELOW the ArrowEvalPython, broadcast back)."""
+def test_jarowinkler_uses_arrow_kernel(spark, spine, events):
+    """Jaro-Winkler scoring is Arrow-vectorized (ArrowEvalPython), never
+    the row-at-a-time BatchEvalPython path."""
     crit = LinkageCriteria(
         id=1,
         tablename="t",
@@ -62,8 +62,21 @@ def test_python_metric_scored_on_distinct_pairs_only(spark, spine, events):
         approxmatch=(ApproxMatch("lastname", "lastname", "jarowinkler", 0.3),),
     )
     plan = _plan(criteria_pass(events, spine, crit))
+    assert "ArrowEvalPython" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_pandas_metric_dedup_scoring_plan(spark, spine, events):
+    """dameraulevenshtein (a pandas metric) with dedup=True scores the
+    distinct-pair frame and broadcasts scores back."""
+    from pyspark.sql import functions as F
+
+    from spinebasedrecordlinkage_jl_spark.functions.distances import attach_distance
+
+    df = events.crossJoin(spine.select(F.col("lastname").alias("sp_last")))
+    out = attach_distance(df, "dameraulevenshtein", "lastname", "sp_last", "_d", dedup=True)
+    plan = _plan(out)
     assert "ArrowEvalPython" in plan or "EvalPython" in plan
-    # the python eval feeds a broadcast back into the candidate join
     assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
 
 
