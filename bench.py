@@ -43,20 +43,72 @@ HEADLINE = [
 ]
 
 
-def run_linkage_throughput(spark, n_entities: int) -> dict:
-    """Full pipeline over synthesized transcripts; returns metrics."""
+def run_link_to_spine_throughput(
+    spark, n_entities: int, max_convs_per_entity: int = 4, repeats: int = 1
+) -> dict:
+    """Steady-state linkage throughput: records probed against an
+    EXISTING spine (the north star's 'first-pass-wins linkage of records
+    to spine entities') — the production workload once entities exist.
+
+    Spine construction (entity formation) is excluded from the timing the
+    same way input synthesis is: it is the corpus bootstrap, not the
+    recurring job. The timed plan is: records aggregation (one shuffle)
+    -> three criteria passes as broadcast-hash joins (event side never
+    shuffled) with JVM Levenshtein + Arrow Jaro-Winkler scoring ->
+    first-criteria-wins window -> count.
+    """
     from pyspark.sql import functions as F
 
-    from spinebasedrecordlinkage_jl_spark.config import (
-        ApproxMatch,
-        LinkageCriteria,
-    )
     from spinebasedrecordlinkage_jl_spark.operators.linkage import link_table
     from spinebasedrecordlinkage_jl_spark.operators.records import conversation_records
     from spinebasedrecordlinkage_jl_spark.operators.spine import form_entities
     from spinebasedrecordlinkage_jl_spark.sources.transcripts import synthesize_transcripts
 
-    crits = [
+    crits = _bench_criteria()
+    transcripts, _ = synthesize_transcripts(
+        spark, n_entities=n_entities, max_convs_per_entity=max_convs_per_entity
+    )
+    transcripts = transcripts.localCheckpoint(eager=True)
+    n_turns = transcripts.count()
+
+    # untimed bootstrap: build the spine once (spine << records is the
+    # production shape — the reference's own contract, README.md:289)
+    rec0 = (
+        conversation_records(transcripts)
+        .filter(F.col("birthdate").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    spine, _ = form_entities(
+        rec0, crits,
+        construct_entityid_from=["firstname", "lastname", "birthdate"],
+        spine_columns=["EntityId", "firstname", "lastname", "birthdate"],
+        tablename="transcripts", order_col="conv_id",
+    )
+    spine = spine.localCheckpoint(eager=True)
+    n_spine = spine.count()
+
+    best = None
+    for _ in range(max(repeats, 1)):
+        t0 = time.time()
+        rec = conversation_records(transcripts).filter(F.col("birthdate").isNotNull())
+        n_links = link_table(rec, spine, crits, "transcripts").count()
+        elapsed = time.time() - t0
+        if best is None or elapsed < best:
+            best = elapsed
+    return {
+        "n_turns": n_turns,
+        "n_spine": n_spine,
+        "n_records_linked": n_links,
+        "linkage_sec": round(best, 3),
+        "linked_records_per_sec": round(n_links / best, 1),
+        "turns_per_sec": round(n_turns / best, 1),
+    }
+
+
+def _bench_criteria():
+    from spinebasedrecordlinkage_jl_spark.config import ApproxMatch, LinkageCriteria
+
+    return [
         LinkageCriteria(
             id=1,
             tablename="transcripts",
@@ -75,6 +127,18 @@ def run_linkage_throughput(spark, n_entities: int) -> dict:
             approxmatch=(ApproxMatch("firstname", "firstname", "jarowinkler", 0.35),),
         ),
     ]
+
+
+def run_linkage_throughput(spark, n_entities: int) -> dict:
+    """Full pipeline over synthesized transcripts; returns metrics."""
+    from pyspark.sql import functions as F
+
+    from spinebasedrecordlinkage_jl_spark.operators.linkage import link_table
+    from spinebasedrecordlinkage_jl_spark.operators.records import conversation_records
+    from spinebasedrecordlinkage_jl_spark.operators.spine import form_entities
+    from spinebasedrecordlinkage_jl_spark.sources.transcripts import synthesize_transcripts
+
+    crits = _bench_criteria()
     transcripts, _ = synthesize_transcripts(spark, n_entities=n_entities)
     transcripts = transcripts.localCheckpoint(eager=True)  # materialize input
     n_turns = transcripts.count()

@@ -42,13 +42,15 @@ def _large_star(edges: DataFrame) -> DataFrame:
     sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     mins = sym.groupBy("src").agg(F.min("dst").alias("_mn"))
     m = F.least(F.col("src"), F.col("_mn")).alias("_m")
+    # no distinct here: small_star (always applied next) deduplicates;
+    # dropping it saves one full shuffle per round at the cost of carrying
+    # ~2x rows into small_star's aggregation
     out = (
         sym.join(mins, "src")
         .select("src", "dst", m)
         .filter(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
-        .distinct()
     )
     return out
 
@@ -95,7 +97,9 @@ def connected_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
     for _ in range(max_iter):
         e = _large_star(e)
         e = _small_star(e)
-        e = e.localCheckpoint(eager=True)
+        # lazy checkpoint: the checksum action below materializes it, so
+        # each round costs exactly one job (plus its shuffles)
+        e = e.localCheckpoint(eager=False)
         cur = checksum(e)
         if cur == prev:
             break

@@ -68,6 +68,15 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPINELINK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    # Shuffle/spill scratch space: in local mode a single shared /tmp disk
+    # serializes every Exchange (a real cluster gives each executor its
+    # own NVMe). tmpfs restores the per-core shuffle bandwidth the plan
+    # would see on a cluster. Override with SPINELINK_LOCAL_DIR.
+    local_dir = os.environ.get("SPINELINK_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spinelink-spark"
+    if local_dir:
+        b = b.config("spark.local.dir", local_dir)
     if master:
         b = b.master(master)
     for k, v in (extra_conf or {}).items():

@@ -57,6 +57,7 @@ def synthesize_transcripts(
     n_entities: int = 60,
     seed: int = 42,
     partitions: int | None = None,
+    max_convs_per_entity: int = 4,
 ) -> tuple[DataFrame, DataFrame]:
     """Return ``(transcripts, labels)``.
 
@@ -88,11 +89,14 @@ def synthesize_transcripts(
         ).alias("c_dob"),
     )
 
-    # --- conversations: 1-4 per entity, corruption per conversation ----
+    # --- conversations: 1..max_convs_per_entity per entity ------------
     convs = ent.select(
         "*",
         F.explode(
-            F.sequence(F.lit(0), F.pmod(h("nc", F.col("gt_entity")), F.lit(4)).cast("int"))
+            F.sequence(
+                F.lit(0),
+                F.pmod(h("nc", F.col("gt_entity")), F.lit(max_convs_per_entity)).cast("int"),
+            )
         ).alias("conv_idx"),
     )
     convs = convs.withColumn(
