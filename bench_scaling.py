@@ -2,63 +2,198 @@
 """Scaling-efficiency evidence (north rule: >=0.8 between N and 4N).
 
 A real multi-executor cluster is unavailable in the sandbox, so per the
-driver instruction the same jobs run at two parallelism levels — 8 and
-32 cores — on the same deterministic synthesized input, in separate JVMs
-(fresh SparkSession per level; JVM startup, input synthesis and the
-one-time spine bootstrap excluded from timing). Two jobs:
+driver instruction the same job runs at two parallelism levels — 8 and 32
+cores — on the SAME materialized input (synthesized once, written to
+parquet, read identically by both levels), in separate JVMs. Two jobs:
 
 1. link_to_spine (HEADLINE, the north star's linked-records/sec):
-   records aggregation -> three criteria passes as broadcast-hash joins
-   -> first-criteria-wins window. The steady-state production workload:
-   the spine exists and is small relative to events (the reference's own
-   contract, /root/reference/README.md:289), new transcripts get linked.
+   parquet scan -> records aggregation (one shuffle) -> three criteria
+   passes as broadcast-hash joins (JVM Levenshtein + Arrow Jaro-Winkler
+   scoring; the event side is never shuffled) -> first-criteria-wins
+   window -> count. The steady-state production workload: the spine
+   exists and is small relative to events (the reference's own contract,
+   /root/reference/README.md:289), new transcripts get linked.
 2. full_pipeline: entity formation included (match-pair graph, connected
    components, relink) — the one-time corpus bootstrap / consolidation.
 
+Untimed at every level: JVM startup, parquet synthesis (parent, once),
+the one-time spine bootstrap (parent, once, written to parquet), and a
+warm-up rep that pre-spawns the Python worker pool (best-of-REPEATS
+timing keeps only warm runs).
+
 Results land in BENCH/BASELINE.md.
 
-Usage:  python bench_scaling.py [n_entities] [max_convs_per_entity]
-Worker: python bench_scaling.py --worker <cores> <n> <maxconvs> <job>
+Usage:  python bench_scaling.py [link_entities] [link_maxconvs] [full_entities]
+Worker: python bench_scaling.py --worker <cores> <job> <data_dir>
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
+import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 REPEATS = 2
+DATA_BASE = os.environ.get("SPINELINK_BENCH_DATA", "/dev/shm/spinelink-bench")
 
 
-def worker(cores: int, n: int, maxconvs: int, job: str) -> None:
+def _criteria():
+    from bench import _bench_criteria
+
+    return _bench_criteria()
+
+
+def prepare(link_n: int, link_mc: int, full_n: int, full_mc: int) -> str:
+    """Synthesize both corpora ONCE and write them to parquet, plus the
+    one-time spine bootstrap for the link job. Everything here is
+    excluded from timing at both parallelism levels — it is input, not
+    the job under test."""
+    from pyspark.sql import functions as F
+
     from spinebasedrecordlinkage_jl_spark import get_spark
+    from spinebasedrecordlinkage_jl_spark.operators.records import conversation_records
+    from spinebasedrecordlinkage_jl_spark.operators.spine import form_entities
+    from spinebasedrecordlinkage_jl_spark.sources.transcripts import synthesize_transcripts
 
-    from bench import run_link_to_spine_throughput, run_linkage_throughput
+    base = f"{DATA_BASE}/n{link_n}x{link_mc}-f{full_n}x{full_mc}"
+    if Path(f"{base}/_READY").exists():
+        return base
+    shutil.rmtree(base, ignore_errors=True)
+
+    spark = get_spark("scaleprep", master="local[32]", shuffle_partitions=64)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    link_t, _ = synthesize_transcripts(
+        spark, n_entities=link_n, max_convs_per_entity=link_mc, partitions=128
+    )
+    link_t.repartition(128).write.mode("overwrite").parquet(f"{base}/link_transcripts")
+
+    full_t, _ = synthesize_transcripts(
+        spark, n_entities=full_n, max_convs_per_entity=full_mc, partitions=64
+    )
+    full_t.repartition(64).write.mode("overwrite").parquet(f"{base}/full_transcripts")
+
+    # one-time spine bootstrap (corpus entity formation) for the link job
+    rec0 = (
+        conversation_records(spark.read.parquet(f"{base}/link_transcripts"))
+        .filter(F.col("birthdate").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    spine, _ = form_entities(
+        rec0,
+        _criteria(),
+        construct_entityid_from=["firstname", "lastname", "birthdate"],
+        spine_columns=["EntityId", "firstname", "lastname", "birthdate"],
+        tablename="transcripts",
+        order_col="conv_id",
+    )
+    spine.repartition(8).write.mode("overwrite").parquet(f"{base}/spine")
+    spark.stop()
+    Path(f"{base}/_READY").write_text("ok")
+    return base
+
+
+def worker(cores: int, job: str, base: str) -> None:
+    from pyspark.sql import functions as F
+
+    from spinebasedrecordlinkage_jl_spark import get_spark
+    from spinebasedrecordlinkage_jl_spark.functions.distances import distance_column
+    from spinebasedrecordlinkage_jl_spark.operators.linkage import link_table
+    from spinebasedrecordlinkage_jl_spark.operators.records import conversation_records
+    from spinebasedrecordlinkage_jl_spark.operators.spine import form_entities
 
     spark = get_spark(f"scale{cores}", master=f"local[{cores}]", shuffle_partitions=cores)
     spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the Arrow/pandas worker pool (untimed; sized to the core count)
+    spark.range(500_000).select(
+        distance_column("jarowinkler", F.lit("warm"), F.lit("worm")).alias("d")
+    ).select(F.sum("d")).collect()
+
+    crits = _criteria()
     if job == "link":
-        best = run_link_to_spine_throughput(
-            spark, n, max_convs_per_entity=maxconvs, repeats=REPEATS
-        )
-    else:
+        transcripts = spark.read.parquet(f"{base}/link_transcripts")
+        n_turns = transcripts.count()
+        spine = spark.read.parquet(f"{base}/spine").localCheckpoint(eager=True)
+        n_spine = spine.count()
         best = None
         for _ in range(REPEATS):
-            m = run_linkage_throughput(spark, n)
-            if best is None or m["linkage_sec"] < best["linkage_sec"]:
-                best = m
-    best["cores"] = cores
-    print("SCALEJSON " + json.dumps(best))
+            t0 = time.time()
+            # Materialize the records aggregation once (timed) — all three
+            # criteria passes consume it; without the checkpoint Catalyst
+            # re-runs the collect_list shuffle per union branch.
+            rec = (
+                conversation_records(transcripts)
+                .filter(F.col("birthdate").isNotNull())
+                .localCheckpoint(eager=True)
+            )
+            n_links = link_table(rec, spine, crits, "transcripts").count()
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        out = {
+            "n_turns": n_turns,
+            "n_spine": n_spine,
+            "n_records_linked": n_links,
+            "linkage_sec": round(best, 3),
+            "linked_records_per_sec": round(n_links / best, 1),
+            "turns_per_sec": round(n_turns / best, 1),
+        }
+    else:
+        transcripts = spark.read.parquet(f"{base}/full_transcripts")
+        n_turns = transcripts.count()
+        best = None
+        for _ in range(REPEATS):
+            t0 = time.time()
+            rec = (
+                conversation_records(transcripts)
+                .filter(F.col("birthdate").isNotNull())
+                .localCheckpoint(eager=True)
+            )
+            spine0 = rec.limit(0).select(
+                F.col("EventId").alias("EntityId"),
+                F.col("EventId").alias("spine_seq"),
+                "firstname",
+                "lastname",
+                "birthdate",
+            )
+            linked = link_table(rec, spine0, crits, "transcripts")
+            unlinked = rec.join(
+                linked.select("EventId"), "EventId", "left_anti"
+            ).localCheckpoint(eager=True)
+            new_spine, _ = form_entities(
+                unlinked,
+                crits,
+                construct_entityid_from=["firstname", "lastname", "birthdate"],
+                spine_columns=["EntityId", "firstname", "lastname", "birthdate"],
+                tablename="transcripts",
+                order_col="conv_id",
+            )
+            new_spine = new_spine.localCheckpoint(eager=True)
+            relink = link_table(unlinked, new_spine, crits, "transcripts")
+            n_links = linked.unionByName(relink).count()
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        out = {
+            "n_turns": n_turns,
+            "n_records_linked": n_links,
+            "linkage_sec": round(best, 3),
+            "linked_records_per_sec": round(n_links / best, 1),
+            "turns_per_sec": round(n_turns / best, 1),
+        }
+    out["cores"] = cores
+    print("SCALEJSON " + json.dumps(out))
     spark.stop()
 
 
-def _run(cores: int, n: int, maxconvs: int, job: str) -> dict:
+def _run(cores: int, job: str, base: str) -> dict:
     proc = subprocess.run(
-        [sys.executable, __file__, "--worker", str(cores), str(n), str(maxconvs), job],
+        [sys.executable, __file__, "--worker", str(cores), job, base],
         capture_output=True,
         text=True,
         env={**os.environ, "SPINELINK_DRIVER_MEM": os.environ.get("SPINELINK_DRIVER_MEM", "60g")},
@@ -71,14 +206,16 @@ def _run(cores: int, n: int, maxconvs: int, job: str) -> dict:
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 800_000
-    maxconvs = int(sys.argv[2]) if len(sys.argv) > 2 else 24
+    link_n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    link_mc = int(sys.argv[2]) if len(sys.argv) > 2 else 48
+    full_n = int(sys.argv[3]) if len(sys.argv) > 3 else 400_000
+    full_mc = 4
+    base = prepare(link_n, link_mc, full_n, full_mc)
+
     res = {}
     for job in ("link", "full"):
-        nn = n if job == "link" else max(n // 4, 10_000)
-        mc = maxconvs if job == "link" else 4
         for cores in (8, 32):
-            res[(job, cores)] = _run(cores, nn, mc, job)
+            res[(job, cores)] = _run(cores, job, base)
 
     def eff(job):
         t8 = res[(job, 8)]["linked_records_per_sec"]
@@ -92,20 +229,24 @@ def main() -> None:
 
 ## Headline: steady-state linkage throughput (linked records/sec)
 
-Job: records aggregation -> 3 criteria passes (broadcast spine, JVM
-Levenshtein + Arrow Jaro-Winkler) -> first-criteria-wins window, over a
-synthesized {n}-entity / <= {maxconvs}-convs-per-entity transcript corpus.
-Input synthesis and one-time spine bootstrap excluded; best of {REPEATS}
-timed reps per level, separate JVMs.
+Job: parquet scan -> records aggregation -> 3 criteria passes (broadcast
+spine, JVM Levenshtein + Arrow Jaro-Winkler) -> first-criteria-wins
+window -> count, over a {link_n}-entity / <= {link_mc}-convs-per-entity
+transcript corpus synthesized ONCE to parquet and read identically at
+both parallelism levels (separate JVMs; input synthesis, one-time spine
+bootstrap and a Python-worker warm-up excluded; best of {REPEATS} timed
+reps per level).
 
 | cores | turns | spine | records linked | wall sec | linked rec/s | turns/s |
 |---|---|---|---|---|---|---|
 | 8 (N) | {res[('link',8)]['n_turns']} | {res[('link',8)]['n_spine']} | {res[('link',8)]['n_records_linked']} | {res[('link',8)]['linkage_sec']} | {l8} | {res[('link',8)]['turns_per_sec']} |
 | 32 (4N) | {res[('link',32)]['n_turns']} | {res[('link',32)]['n_spine']} | {res[('link',32)]['n_records_linked']} | {res[('link',32)]['linkage_sec']} | {l32} | {res[('link',32)]['turns_per_sec']} |
 
-- speedup 8->32: **{lsp:.2f}x** — scaling efficiency **{leff:.3f}**
+- speedup 8->32: **{lsp:.2f}x** — scaling efficiency **{leff:.3f}** (target >= 0.8)
 
 ## Full pipeline (entity formation + connected components + relink)
+
+Same protocol over a {full_n}-entity / <= {full_mc}-convs corpus.
 
 | cores | turns | records linked | wall sec | linked rec/s |
 |---|---|---|---|---|
@@ -114,7 +255,7 @@ timed reps per level, separate JVMs.
 
 - speedup 8->32: **{fsp:.2f}x** — scaling efficiency **{feff:.3f}**
 
-Reproduce: `python bench_scaling.py {n} {maxconvs}`.
+Reproduce: `python bench_scaling.py {link_n} {link_mc} {full_n}`.
 Per-query numbers: `python bench.py` (BENCH_r*.json).
 """
     Path("BENCH").mkdir(exist_ok=True)
@@ -125,6 +266,6 @@ Per-query numbers: `python bench.py` (BENCH_r*.json).
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--worker":
-        worker(int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]), sys.argv[5])
+        worker(int(sys.argv[2]), sys.argv[3], sys.argv[4])
     else:
         main()

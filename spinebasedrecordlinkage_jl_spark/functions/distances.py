@@ -273,7 +273,12 @@ def _make_pandas_kernel(metric: str):
         return pd.Series(out, dtype="float64")
 
     kernel_cache: dict[tuple[str, str], float] = {}
-    return kernel
+    # The kernel is a pure function; asNondeterministic() only tells
+    # Catalyst not to clone the call across operator boundaries. Without
+    # it, pushing the threshold Filter below the _total Project duplicates
+    # the ArrowEvalPython node and every candidate row crosses the Python
+    # boundary twice (verified via explain("formatted")).
+    return kernel.asNondeterministic()
 
 
 _KERNEL_CACHE: dict[str, object] = {}
