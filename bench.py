@@ -60,7 +60,7 @@ def run_link_to_spine_throughput(
     from pyspark.sql import functions as F
 
     from spinebasedrecordlinkage_jl_spark.operators.linkage import link_table
-    from spinebasedrecordlinkage_jl_spark.operators.records import conversation_records
+    from spinebasedrecordlinkage_jl_spark.operators.records import linkage_records
     from spinebasedrecordlinkage_jl_spark.operators.spine import form_entities
     from spinebasedrecordlinkage_jl_spark.sources.transcripts import synthesize_transcripts
 
@@ -74,7 +74,7 @@ def run_link_to_spine_throughput(
     # untimed bootstrap: build the spine once (spine << records is the
     # production shape — the reference's own contract, README.md:289)
     rec0 = (
-        conversation_records(transcripts)
+        linkage_records(transcripts)
         .filter(F.col("birthdate").isNotNull())
         .localCheckpoint(eager=True)
     )
@@ -96,8 +96,9 @@ def run_link_to_spine_throughput(
         # 3x the most expensive stage (verified via explain("formatted")).
         # Production shape: the records table is written once per batch.
         rec = (
-            conversation_records(transcripts)
+            linkage_records(transcripts)
             .filter(F.col("birthdate").isNotNull())
+            .repartition(2 * spark.sparkContext.defaultParallelism)
             .localCheckpoint(eager=True)
         )
         n_links = link_table(rec, spine, crits, "transcripts").count()
@@ -143,7 +144,7 @@ def run_linkage_throughput(spark, n_entities: int) -> dict:
     from pyspark.sql import functions as F
 
     from spinebasedrecordlinkage_jl_spark.operators.linkage import link_table
-    from spinebasedrecordlinkage_jl_spark.operators.records import conversation_records
+    from spinebasedrecordlinkage_jl_spark.operators.records import linkage_records
     from spinebasedrecordlinkage_jl_spark.operators.spine import form_entities
     from spinebasedrecordlinkage_jl_spark.sources.transcripts import synthesize_transcripts
 
@@ -158,8 +159,9 @@ def run_linkage_throughput(spark, n_entities: int) -> dict:
     # relink; without the checkpoint Catalyst re-runs the records
     # aggregation for every branch of the DAG.
     rec = (
-        conversation_records(transcripts)
+        linkage_records(transcripts)
         .filter(F.col("birthdate").isNotNull())
+        .repartition(2 * spark.sparkContext.defaultParallelism)
         .localCheckpoint(eager=True)
     )
     spine0 = rec.limit(0).select(
@@ -194,7 +196,15 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     n_entities = int(os.environ.get("SPINELINK_BENCH_ENTITIES", "8000"))
-    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+    mem = os.environ.get("SPINELINK_DRIVER_MEM", "16g")
+    # pre-size + pre-touch the heap so timed queries don't pay first-touch
+    # page faults while the heap grows (see bench_scaling.py)
+    spark = get_spark(
+        "bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        extra_conf={"spark.driver.extraJavaOptions": f"-Xms{mem} -XX:+AlwaysPreTouch"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm the JVM/Arrow paths once so per-query numbers measure the

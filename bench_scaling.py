@@ -39,7 +39,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-REPEATS = 2
+REPEATS = 3
 DATA_BASE = os.environ.get("SPINELINK_BENCH_DATA", "/dev/shm/spinelink-bench")
 
 
@@ -57,7 +57,7 @@ def prepare(link_n: int, link_mc: int, full_n: int, full_mc: int) -> str:
     from pyspark.sql import functions as F
 
     from spinebasedrecordlinkage_jl_spark import get_spark
-    from spinebasedrecordlinkage_jl_spark.operators.records import conversation_records
+    from spinebasedrecordlinkage_jl_spark.operators.records import linkage_records
     from spinebasedrecordlinkage_jl_spark.operators.spine import form_entities
     from spinebasedrecordlinkage_jl_spark.sources.transcripts import synthesize_transcripts
 
@@ -70,9 +70,9 @@ def prepare(link_n: int, link_mc: int, full_n: int, full_mc: int) -> str:
     spark.sparkContext.setLogLevel("ERROR")
 
     link_t, _ = synthesize_transcripts(
-        spark, n_entities=link_n, max_convs_per_entity=link_mc, partitions=128
+        spark, n_entities=link_n, max_convs_per_entity=link_mc, partitions=256
     )
-    link_t.repartition(128).write.mode("overwrite").parquet(f"{base}/link_transcripts")
+    link_t.repartition(256).write.mode("overwrite").parquet(f"{base}/link_transcripts")
 
     full_t, _ = synthesize_transcripts(
         spark, n_entities=full_n, max_convs_per_entity=full_mc, partitions=64
@@ -81,7 +81,7 @@ def prepare(link_n: int, link_mc: int, full_n: int, full_mc: int) -> str:
 
     # one-time spine bootstrap (corpus entity formation) for the link job
     rec0 = (
-        conversation_records(spark.read.parquet(f"{base}/link_transcripts"))
+        linkage_records(spark.read.parquet(f"{base}/link_transcripts"))
         .filter(F.col("birthdate").isNotNull())
         .localCheckpoint(eager=True)
     )
@@ -105,10 +105,19 @@ def worker(cores: int, job: str, base: str) -> None:
     from spinebasedrecordlinkage_jl_spark import get_spark
     from spinebasedrecordlinkage_jl_spark.functions.distances import distance_column
     from spinebasedrecordlinkage_jl_spark.operators.linkage import link_table
-    from spinebasedrecordlinkage_jl_spark.operators.records import conversation_records
+    from spinebasedrecordlinkage_jl_spark.operators.records import linkage_records
     from spinebasedrecordlinkage_jl_spark.operators.spine import form_entities
 
-    spark = get_spark(f"scale{cores}", master=f"local[{cores}]", shuffle_partitions=cores)
+    # Pre-size + pre-touch the heap at JVM start (untimed): without it
+    # the first timed reps pay tens of seconds of first-touch page faults
+    # while the heap grows, producing 10x run-to-run variance.
+    mem = os.environ.get("SPINELINK_DRIVER_MEM", "24g")
+    spark = get_spark(
+        f"scale{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=cores,
+        extra_conf={"spark.driver.extraJavaOptions": f"-Xms{mem} -XX:+AlwaysPreTouch"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm the Arrow/pandas worker pool (untimed; sized to the core count)
@@ -128,9 +137,14 @@ def worker(cores: int, job: str, base: str) -> None:
             # Materialize the records aggregation once (timed) — all three
             # criteria passes consume it; without the checkpoint Catalyst
             # re-runs the collect_list shuffle per union branch.
+            # Explicit repartition before the checkpoint: the pruned
+            # aggregation output is small enough that AQE coalesces it to
+            # a handful of partitions, which would starve every downstream
+            # pass of parallelism (north rule: explicit repartitioning).
             rec = (
-                conversation_records(transcripts)
+                linkage_records(transcripts)
                 .filter(F.col("birthdate").isNotNull())
+                .repartition(2 * spark.sparkContext.defaultParallelism)
                 .localCheckpoint(eager=True)
             )
             n_links = link_table(rec, spine, crits, "transcripts").count()
@@ -150,9 +164,14 @@ def worker(cores: int, job: str, base: str) -> None:
         best = None
         for _ in range(REPEATS):
             t0 = time.time()
+            # Explicit repartition before the checkpoint: the pruned
+            # aggregation output is small enough that AQE coalesces it to
+            # a handful of partitions, which would starve every downstream
+            # pass of parallelism (north rule: explicit repartitioning).
             rec = (
-                conversation_records(transcripts)
+                linkage_records(transcripts)
                 .filter(F.col("birthdate").isNotNull())
+                .repartition(2 * spark.sparkContext.defaultParallelism)
                 .localCheckpoint(eager=True)
             )
             spine0 = rec.limit(0).select(
@@ -196,7 +215,7 @@ def _run(cores: int, job: str, base: str) -> dict:
         [sys.executable, __file__, "--worker", str(cores), job, base],
         capture_output=True,
         text=True,
-        env={**os.environ, "SPINELINK_DRIVER_MEM": os.environ.get("SPINELINK_DRIVER_MEM", "60g")},
+        env={**os.environ, "SPINELINK_DRIVER_MEM": os.environ.get("SPINELINK_DRIVER_MEM", "24g")},
     )
     lines = [l for l in proc.stdout.splitlines() if l.startswith("SCALEJSON ")]
     if not lines:
@@ -207,8 +226,8 @@ def _run(cores: int, job: str, base: str) -> dict:
 
 def main() -> None:
     link_n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
-    link_mc = int(sys.argv[2]) if len(sys.argv) > 2 else 48
-    full_n = int(sys.argv[3]) if len(sys.argv) > 3 else 400_000
+    link_mc = int(sys.argv[2]) if len(sys.argv) > 2 else 144
+    full_n = int(sys.argv[3]) if len(sys.argv) > 3 else 1_600_000
     full_mc = 4
     base = prepare(link_n, link_mc, full_n, full_mc)
 

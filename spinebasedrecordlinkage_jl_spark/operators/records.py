@@ -82,6 +82,49 @@ def conversation_records(
     return rec
 
 
+def linkage_records(
+    transcripts: DataFrame,
+    tablename: str = "transcripts",
+    extractors: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Shuffle-pruned records aggregation for the linkage hot path.
+
+    ``conversation_records`` carries the full sorted turn array (the
+    per-turn-equality contract needs it), which forces every text/tool/ts
+    byte through the groupBy shuffle — Catalyst cannot prune columns
+    through ``collect_list(struct(...))``. The linkage criteria only
+    consume fields extracted from the FIRST USER TURN, so this variant
+    aggregates exactly that: filter to user rows (pushed into the scan),
+    shuffle only (conv_id, turn_idx, text), and take ``min_by(text,
+    turn_idx)`` — "first" under the same stable turn ordering. At
+    transcript scale this shrinks the one full shuffle of the raw table
+    by the ratio of identity-turn bytes to conversation bytes (>10x).
+
+    Conversations with no user turn are absent from the output; their
+    linkage fields would be NULL and the validity filter (O6,
+    runlinkage.jl:136-154) drops them anyway.
+
+    Output: conv_id, EventId, first_user_text + extracted linkage columns
+    (a column-pruned projection of ``conversation_records`` — per-row
+    equal on the shared columns, enforced by tests).
+    """
+    rec = (
+        transcripts.filter(F.col("role") == "user")
+        .select("conv_id", "turn_idx", "text")
+        .groupBy("conv_id")
+        .agg(F.min_by("text", "turn_idx").alias("first_user_text"))
+        .select(
+            "conv_id",
+            event_id(tablename, F.col("conv_id")).alias("EventId"),
+            "first_user_text",
+        )
+    )
+    ex = _default_extractors() if extractors is None else extractors
+    for name, col in ex.items():
+        rec = rec.withColumn(name, col)
+    return rec
+
+
 def explode_records(records: DataFrame) -> DataFrame:
     """Inverse of the aggregation (for the per-turn-equality invariant
     test): records -> one row per turn, original schema + conv_id."""

@@ -56,3 +56,31 @@ def test_eventid_deterministic(spark):
     r1 = conversation_records(t1).select("conv_id", "EventId").collect()
     r2 = conversation_records(t1).select("conv_id", "EventId").collect()
     assert sorted(map(tuple, r1)) == sorted(map(tuple, r2))
+
+
+def test_linkage_records_matches_full_aggregation(spark):
+    """linkage_records is a column-pruned projection of
+    conversation_records: per-row equal on the shared columns."""
+    from spinebasedrecordlinkage_jl_spark.operators.records import linkage_records
+
+    transcripts, _ = synthesize_transcripts(spark, n_entities=80)
+    cols = ["conv_id", "EventId", "first_user_text", "firstname", "lastname", "birthdate"]
+    full = {r["conv_id"]: r for r in conversation_records(transcripts).select(*cols).collect()}
+    fast = {r["conv_id"]: r for r in linkage_records(transcripts).select(*cols).collect()}
+    # every conversation has a user turn in the generator -> same keyset
+    assert set(full) == set(fast)
+    assert full == fast
+
+
+def test_linkage_records_drops_userless_conversations(spark):
+    from spinebasedrecordlinkage_jl_spark.operators.records import linkage_records
+
+    t = spark.createDataFrame(
+        [
+            ("c1", 0, "user", "hello my name is a b 1990-01-01", None),
+            ("c2", 0, "assistant", "no user here", None),
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    ).withColumn("ts", F.current_timestamp())
+    out = linkage_records(t).select("conv_id").collect()
+    assert [r["conv_id"] for r in out] == ["c1"]
