@@ -31,7 +31,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import subprocess
 import sys
 import time
@@ -64,36 +63,46 @@ def prepare(link_n: int, link_mc: int, full_n: int, full_mc: int) -> str:
     base = f"{DATA_BASE}/n{link_n}x{link_mc}-f{full_n}x{full_mc}"
     if Path(f"{base}/_READY").exists():
         return base
-    shutil.rmtree(base, ignore_errors=True)
 
-    spark = get_spark("scaleprep", master="local[32]", shuffle_partitions=64)
+    # the spine bootstrap runs entity formation over every link record —
+    # give the prepare JVM a real heap (the workers size their own)
+    spark = get_spark(
+        "scaleprep",
+        master="local[32]",
+        shuffle_partitions=64,
+        extra_conf={"spark.driver.memory": os.environ.get("SPINELINK_PREP_MEM", "48g")},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
-    link_t, _ = synthesize_transcripts(
-        spark, n_entities=link_n, max_convs_per_entity=link_mc, partitions=256
-    )
-    link_t.repartition(256).write.mode("overwrite").parquet(f"{base}/link_transcripts")
+    if not Path(f"{base}/link_transcripts/_SUCCESS").exists():
+        link_t, _ = synthesize_transcripts(
+            spark, n_entities=link_n, max_convs_per_entity=link_mc, partitions=256
+        )
+        link_t.repartition(256).write.mode("overwrite").parquet(f"{base}/link_transcripts")
 
-    full_t, _ = synthesize_transcripts(
-        spark, n_entities=full_n, max_convs_per_entity=full_mc, partitions=64
-    )
-    full_t.repartition(64).write.mode("overwrite").parquet(f"{base}/full_transcripts")
+    if not Path(f"{base}/full_transcripts/_SUCCESS").exists():
+        full_t, _ = synthesize_transcripts(
+            spark, n_entities=full_n, max_convs_per_entity=full_mc, partitions=64
+        )
+        full_t.repartition(64).write.mode("overwrite").parquet(f"{base}/full_transcripts")
 
     # one-time spine bootstrap (corpus entity formation) for the link job
-    rec0 = (
-        linkage_records(spark.read.parquet(f"{base}/link_transcripts"))
-        .filter(F.col("birthdate").isNotNull())
-        .localCheckpoint(eager=True)
-    )
-    spine, _ = form_entities(
-        rec0,
-        _criteria(),
-        construct_entityid_from=["firstname", "lastname", "birthdate"],
-        spine_columns=["EntityId", "firstname", "lastname", "birthdate"],
-        tablename="transcripts",
-        order_col="conv_id",
-    )
-    spine.repartition(8).write.mode("overwrite").parquet(f"{base}/spine")
+    if not Path(f"{base}/spine/_SUCCESS").exists():
+        rec0 = (
+            linkage_records(spark.read.parquet(f"{base}/link_transcripts"))
+            .filter(F.col("birthdate").isNotNull())
+            .repartition(64)
+            .localCheckpoint(eager=True)
+        )
+        spine, _ = form_entities(
+            rec0,
+            _criteria(),
+            construct_entityid_from=["firstname", "lastname", "birthdate"],
+            spine_columns=["EntityId", "firstname", "lastname", "birthdate"],
+            tablename="transcripts",
+            order_col="conv_id",
+        )
+        spine.repartition(8).write.mode("overwrite").parquet(f"{base}/spine")
     spark.stop()
     Path(f"{base}/_READY").write_text("ok")
     return base

@@ -58,12 +58,11 @@ def _large_star(edges: DataFrame) -> DataFrame:
 def _small_star(edges: DataFrame) -> DataFrame:
     """small-star: orient edges toward smaller ids; connect each node's
     smaller neighbors (and itself) to the minimum of that set."""
-    oriented = (
-        edges.filter(F.col("src") != F.col("dst"))
-        .select(
-            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
-        )
-        .distinct()
+    # no distinct on the oriented edges: duplicates do not change the
+    # per-src minimum, and the final distinct below dedupes the output —
+    # dropping it saves one full shuffle per CC round
+    oriented = edges.filter(F.col("src") != F.col("dst")).select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
     )
     mins = oriented.groupBy("src").agg(F.min("dst").alias("_m"))
     e1 = (
@@ -147,38 +146,80 @@ def match_pairs(
     crit: LinkageCriteria,
     max_block_size: int | None = 10_000,
 ) -> DataFrame:
-    """Undirected match edges (src,dst EventIds) among records under one
-    criteria-set, evaluated record-vs-record: the left side plays the
-    event role (datacolumn), the right side the appended-spine role
-    (spinecolumn) — matching append_row_to_spine! column copying
-    (/root/reference/src/runlinkage.jl:283-294).
+    """Match edges among records under one criteria-set, in VALUE-NODE
+    form: ``(src, dst)`` where nodes are EventIds and signature nodes.
 
-    Blocking = the criteria's own exactmatch key. Oversized blocks are
-    purged (see blocking.candidate_pairs rationale).
+    Semantics being reproduced: record r1 (event role, datacolumn side)
+    matches r2 (appended-spine role, spinecolumn side — matching
+    append_row_to_spine! column copying, /root/reference/src/
+    runlinkage.jl:283-294) iff every exactmatch pair is string-equal and
+    every approx distance passes its threshold with total < 1.0.
+
+    Whether a pair matches depends ONLY on the two records' *match
+    signatures* — the tuple of every column the criterion reads. So
+    instead of scoring record pairs (quadratic in block size: a
+    100-conversation entity is ~10^4 pairs, a duplicate-heavy 10^12-turn
+    corpus is ~10^9+ and OOMs), score DISTINCT SIGNATURE PAIRS:
+
+    - every record points at its signature node (linear map-only edges);
+    - signature pairs within a block are scored once (quadratic only in
+      UNIQUE values per block);
+    - a signature that matches ITSELF (the diagonal of the signature
+      join) connects all its records through its node — the analogue of
+      exact-duplicate record pairs;
+    - records of signatures with no surviving edge get no node edge, so
+      two records sharing a non-self-matching signature (e.g. null approx
+      columns: missing has distance 1.0, distances.jl:15-16) are NOT
+      spuriously merged.
+
+    Connected components over this graph are identical to the record-pair
+    formulation's components: r1~r2 pairwise iff sig(r1) [self- or
+    cross-] matches sig(r2), and every signature node lies on a path only
+    between records whose signatures match.
+
+    Blocking = the criteria's own exactmatch key. Blocks with more than
+    ``max_block_size`` DISTINCT signatures are purged from the event role
+    (the quadratic driver is unique values, not rows — a hot block of one
+    repeated value now costs O(rows), no purge needed).
     """
     if not crit.exactmatch:
         raise ValueError(f"criteria {crit.id}: entity formation requires an exact key")
 
-    a = records.alias("a")
-    b = records.alias("b")
+    exact_dc = list(crit.exactmatch.keys())
+    exact_sc = list(crit.exactmatch.values())
+    approx_dc = [am.datacolumn for am in crit.approxmatch]
+    approx_sc = [am.spinecolumn for am in crit.approxmatch]
+    sig_cols = list(dict.fromkeys(exact_dc + exact_sc + approx_dc + approx_sc))
 
-    # non-null exact keys on both roles
-    for dc, sc in crit.exactmatch.items():
+    # signature node id: hash over all columns the criterion reads, with
+    # an explicit null sentinel (xxhash64 ignores null operands, which
+    # would conflate (null, x) with (x, null))
+    null_sentinel = F.lit("\x00")
+    vnode = F.xxhash64(
+        F.lit(f"signode:{crit.id}"),
+        *[F.coalesce(F.col(c), null_sentinel) for c in sig_cols],
+    )
+
+    rec_v = records.select(F.col("EventId").alias("src"), vnode.alias("dst"))
+    sigs = records.select(*sig_cols).distinct().withColumn("_vn", vnode)
+
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    for dc in exact_dc:
         a = a.filter(F.col(dc).isNotNull())
+    for sc in exact_sc:
         b = b.filter(F.col(sc).isNotNull())
 
-    # block purge on the event-role key
+    # block purge on the event-role key, by distinct-signature count
     if max_block_size is not None:
-        key_cols = list(crit.exactmatch.keys())
-        sizes = records.groupBy(*key_cols).agg(F.count("*").alias("_bs"))
-        big = sizes.filter(F.col("_bs") > max_block_size).select(*key_cols)
-        a = a.join(F.broadcast(big), key_cols, "left_anti")
+        sizes = sigs.groupBy(*exact_dc).agg(F.count("*").alias("_bs"))
+        big = sizes.filter(F.col("_bs") > max_block_size).select(*exact_dc)
+        a = a.join(F.broadcast(big), exact_dc, "left_anti")
 
     cond = None
     for dc, sc in crit.exactmatch.items():
         c = F.col(f"a.{dc}") == F.col(f"b.{sc}")
         cond = c if cond is None else (cond & c)
-    cond = cond & (F.col("a.EventId") != F.col("b.EventId"))
 
     cand = a.join(b, cond, "inner")
     for i, am in enumerate(crit.approxmatch):
@@ -190,10 +231,23 @@ def match_pairs(
         total = sum((F.col(f"_d{i}") for i in range(len(crit.approxmatch))), F.lit(0.0))
         cand = cand.filter(total < 1.0)
 
-    return cand.select(
-        F.least(F.col("a.EventId"), F.col("b.EventId")).alias("src"),
-        F.greatest(F.col("a.EventId"), F.col("b.EventId")).alias("dst"),
-    ).distinct()
+    matched = cand.select(F.col("a._vn").alias("x"), F.col("b._vn").alias("y"))
+    vv = (
+        matched.filter(F.col("x") != F.col("y"))
+        .select(
+            F.least(F.col("x"), F.col("y")).alias("src"),
+            F.greatest(F.col("x"), F.col("y")).alias("dst"),
+        )
+        .distinct()
+    )
+    # signature nodes with any surviving edge (self-match or cross-match)
+    participating = (
+        matched.select(F.col("x").alias("dst"))
+        .union(matched.select(F.col("y").alias("dst")))
+        .distinct()
+    )
+    rec_edges = rec_v.join(participating, "dst", "left_semi")
+    return rec_edges.select("src", "dst").union(vv.select("src", "dst"))
 
 
 def _exact_complete_cond(crit: LinkageCriteria):
