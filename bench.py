@@ -180,7 +180,7 @@ def run_linkage_throughput(spark, n_entities: int) -> dict:
         tablename="transcripts", order_col="conv_id",
     )
     new_spine = new_spine.localCheckpoint(eager=True)
-    relink = link_table(unlinked, new_spine, crits, "transcripts")
+    relink = link_table(unlinked, new_spine, crits, "transcripts", broadcast_spine=None)
     n_links = linked.unionByName(relink).count()
     elapsed = time.time() - t0
     return {

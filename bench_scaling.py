@@ -203,7 +203,12 @@ def worker(cores: int, job: str, base: str) -> None:
                 order_col="conv_id",
             )
             new_spine = new_spine.localCheckpoint(eager=True)
-            relink = link_table(unlinked, new_spine, crits, "transcripts")
+            # the fresh spine is the same order of magnitude as the
+            # unlinked records — let AQE pick the join strategy instead
+            # of forcing 3 serial driver-side broadcast builds
+            relink = link_table(
+                unlinked, new_spine, crits, "transcripts", broadcast_spine=None
+            )
             n_links = linked.unionByName(relink).count()
             dt = time.time() - t0
             best = dt if best is None or dt < best else best

@@ -42,16 +42,19 @@ from ..functions.distances import attach_distance
 LINK_COLUMNS = ("TableName", "EventId", "EntityId", "CriteriaId")
 
 
-def _spine_alias(spine: DataFrame, broadcast: bool) -> DataFrame:
-    sp = F.broadcast(spine) if broadcast else spine
-    return sp
+def _spine_alias(spine: DataFrame, broadcast: bool | None) -> DataFrame:
+    """broadcast=True forces the hint, False/None leave the join strategy
+    to Catalyst/AQE (right when spine size is comparable to the event
+    side, e.g. the bootstrap relink against a fresh full-corpus spine —
+    a forced broadcast there serializes N driver-side hash-table builds)."""
+    return F.broadcast(spine) if broadcast else spine
 
 
 def criteria_pass(
     events: DataFrame,
     spine: DataFrame,
     crit: LinkageCriteria,
-    broadcast_spine: bool = True,
+    broadcast_spine: bool | None = True,
 ) -> DataFrame:
     """One criteria-set -> candidate links ``(EventId, EntityId, CriteriaId)``.
 
@@ -117,7 +120,7 @@ def link_table(
     spine: DataFrame,
     criteria: list[LinkageCriteria],
     tablename: str,
-    broadcast_spine: bool = True,
+    broadcast_spine: bool | None = True,
 ) -> DataFrame:
     """All criteria passes for one table, first-criteria-wins (O12).
 
