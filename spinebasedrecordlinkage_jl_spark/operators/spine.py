@@ -302,28 +302,61 @@ def form_entities(
         elig_cond = elig_cond | _exact_complete_cond(c)
     eligible = unlinked.filter(elig_cond)
 
+    # Global-signature contraction: every criterion reads only columns
+    # from the union of all criteria's match columns, so records sharing
+    # that tuple are interchangeable in the whole match graph. Run the
+    # edge generation AND connected components over DISTINCT signatures
+    # (one node per unique identity tuple, ~|entities|), then join records
+    # back to their signature's component — the iterative part of entity
+    # formation becomes independent of record count (10^12 turns contract
+    # to the unique-identity space before any O(n^2) or iterative work).
+    global_cols: list[str] = []
+    for c in criteria:
+        for col in (
+            list(c.exactmatch.keys())
+            + list(c.exactmatch.values())
+            + [am.datacolumn for am in c.approxmatch]
+            + [am.spinecolumn for am in c.approxmatch]
+        ):
+            if col not in global_cols:
+                global_cols.append(col)
+    gs = F.xxhash64(
+        F.lit("gsig"), *[F.coalesce(F.col(c), F.lit("\x00")) for c in global_cols]
+    )
+    eligible_g = eligible.withColumn("_gs", gs)
+    gs_records = (
+        eligible_g.select("_gs", *global_cols)
+        .distinct()
+        .withColumnRenamed("_gs", "EventId")
+    )
+
     edges = None
     for c in criteria:
         # exact-only criteria: linear key-node edges (skew-immune);
-        # fuzzy criteria: scored pairwise edges within the exact block
+        # fuzzy criteria: value-node scored edges within the exact block
         p = (
-            exact_key_edges(eligible, c)
+            exact_key_edges(gs_records, c)
             if not c.approxmatch
-            else match_pairs(eligible, c, max_block_size=max_block_size)
+            else match_pairs(gs_records, c, max_block_size=max_block_size)
         )
         # fresh output attributes per union branch: the branches share
-        # lineage (all derive from `eligible`), which trips Catalyst's
+        # lineage (all derive from `gs_records`), which trips Catalyst's
         # Union constraint rewriting (NoSuchElementException on a reused
         # attribute id) on Spark 4.1
         p = p.select(F.col("src").alias("src"), F.col("dst").alias("dst"))
         edges = p if edges is None else edges.union(p)
     edges = edges.distinct()
 
-    comp = connected_components(edges)  # (id, component)
+    comp = connected_components(edges)  # (id, component) over signatures
 
-    members = eligible.join(
-        comp.withColumnRenamed("id", "EventId"), "EventId", "left"
-    ).withColumn("component", F.coalesce(F.col("component"), F.col("EventId")))
+    # Records of a signature with NO surviving edge stay singletons (their
+    # own EventId as component) — merging them through the bare signature
+    # node would diverge from pairwise semantics (e.g. identical records
+    # whose only complete criterion fails its fuzzy threshold on a null:
+    # missing has distance 1.0, distances.jl:15-16).
+    members = eligible_g.join(
+        comp.withColumnRenamed("id", "_gs"), "_gs", "left"
+    ).withColumn("component", F.coalesce(F.col("component"), F.col("EventId"))).drop("_gs")
 
     # Representative record per component: first in natural-key order
     # (the reference's spine row carries the FIRST record's values —

@@ -101,3 +101,29 @@ def test_records_aggregation_single_shuffle(spark):
     t, _ = synthesize_transcripts(spark, n_entities=5)
     plan = _plan(conversation_records(t))
     assert plan.count("Exchange") <= 2, plan  # hashpartitioning + (AQE reads)
+
+
+def test_match_pairs_scores_signatures_not_records(spark):
+    """Value-node entity formation: the pairwise-scored join must read
+    from the DISTINCT signature relation (HashAggregate dedup), never
+    self-join the raw records — O(unique-values²) not O(block²)."""
+    from spinebasedrecordlinkage_jl_spark.operators.spine import match_pairs
+
+    records = spark.createDataFrame(
+        [(i, "john", "smith", "1990-01-01") for i in range(100)],
+        "EventId long, firstname string, lastname string, birthdate string",
+    )
+    crit = LinkageCriteria(
+        id=2,
+        tablename="t",
+        exactmatch={"birthdate": "birthdate"},
+        approxmatch=(ApproxMatch("lastname", "lastname", "levenshtein", 0.3),),
+    )
+    edges = match_pairs(records, crit)
+    # 100 identical records -> 100 record->signature edges + 0 vv edges
+    rows = edges.collect()
+    assert len(rows) == 100
+    assert len({r["dst"] for r in rows}) == 1
+    # each scored join input carries an Aggregate (the signature distinct)
+    plan = _plan(edges)
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan, plan
