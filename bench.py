@@ -203,7 +203,12 @@ def main() -> None:
         "bench",
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus),
-        extra_conf={"spark.driver.extraJavaOptions": f"-Xms{mem} -XX:+AlwaysPreTouch"},
+        extra_conf={
+            # keep -Xmx (spark.driver.memory) in lockstep with -Xms: with
+            # the session default of 8g the JVM refuses to start
+            "spark.driver.memory": mem,
+            "spark.driver.extraJavaOptions": f"-Xms{mem} -XX:+AlwaysPreTouch",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
