@@ -25,11 +25,44 @@ localCheckpoint so the plan does not grow exponentially.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 from ..config import LinkageCriteria
 from ..functions.distances import attach_distance
+
+# ---------------------------------------------------------------------------
+# Graph node ids
+# ---------------------------------------------------------------------------
+#
+# Node ids are 128-bit: a struct of two independent xxhash64 values
+# (different salt literals). At the documented 10^12-turn / ~10^9-unique-
+# signature design point a single 64-bit id space has a few-percent
+# birthday probability of at least one collision — which would silently
+# merge unrelated records into one entity, bypassing all match logic.
+# With 128 bits the probability is ~1e-20. Spark groups/joins/orders
+# struct keys natively, so the only cost is 8 extra bytes per edge in the
+# (already signature-contracted, ~|entities|-sized) graph shuffles.
+
+
+def _node(tag: str, cols: list[Column]) -> Column:
+    """128-bit synthetic graph node: two independent 64-bit hashes."""
+    return F.struct(
+        F.xxhash64(F.lit(tag + "#a"), *cols).alias("h1"),
+        F.xxhash64(F.lit(tag + "#b"), *cols).alias("h2"),
+    )
+
+
+def _record_node(records: DataFrame, id_col: str = "EventId") -> Column:
+    """Lift a record id into the 128-bit node space. Already-struct ids
+    (the contracted signature nodes of form_entities) pass through; plain
+    scalar ids become ``struct(id, id)`` — disjoint from synthetic
+    ``_node`` ids up to a ~2^-128 accident."""
+    if isinstance(records.schema[id_col].dataType, StructType):
+        return F.col(id_col)
+    return F.struct(F.col(id_col).alias("h1"), F.col(id_col).alias("h2"))
+
 
 # ---------------------------------------------------------------------------
 # Connected components (large-star / small-star)
@@ -74,35 +107,40 @@ def _small_star(edges: DataFrame) -> DataFrame:
 
 
 def connected_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
-    """edges(src:long, dst:long) -> components(id:long, component:long).
+    """edges(src, dst) -> components(id, component).
 
-    ``component`` is the minimum node id of each component. Nodes that
-    only appear as isolated vertices are the caller's concern (left-join
-    + coalesce with their own id).
+    Node ids may be any orderable type (long, or the 128-bit hash structs
+    of form_entities) as long as src and dst agree. ``component`` is the
+    minimum node id of each component. Nodes that only appear as isolated
+    vertices are the caller's concern (left-join + coalesce with their
+    own id).
     """
-    e = edges.select(F.col("src").cast("long"), F.col("dst").cast("long")).filter(
-        F.col("src") != F.col("dst")
-    )
+    e = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    if not isinstance(e.schema["src"].dataType, StructType):
+        e = e.select(F.col("src").cast("long"), F.col("dst").cast("long"))
     e = e.localCheckpoint(eager=True)
 
-    def checksum(df: DataFrame) -> tuple[int, int]:
-        row = df.agg(
-            F.count(F.lit(1)).alias("c"),
-            F.coalesce(F.expr("bit_xor(xxhash64(src, dst))"), F.lit(0)).alias("h"),
-        ).collect()[0]
-        return int(row["c"]), int(row["h"])
-
-    prev = None
     for _ in range(max_iter):
         e = _large_star(e)
         e = _small_star(e)
-        # lazy checkpoint: the checksum action below materializes it, so
+        # lazy checkpoint: the star-test action below materializes it, so
         # each round costs exactly one job (plus its shuffles)
         e = e.localCheckpoint(eager=False)
-        cur = checksum(e)
-        if cur == prev:
+        # Convergence: small_star's output orients every edge src > dst,
+        # so the edge set is a fixpoint iff it is a star forest, i.e. no
+        # node appears on both sides. Testing THIS round's output stops
+        # one full round earlier than the previous-checksum-equality rule
+        # (which needed an extra round to observe stability) — the CC
+        # driver loop is the serial fraction of the whole pipeline, so a
+        # round saved is ~25% less cluster drain at typical 2-3 round
+        # convergence.
+        chains = (
+            e.join(e.select(F.col("dst").alias("src")).distinct(), "src", "left_semi")
+            .limit(1)
+            .count()
+        )
+        if chains == 0:
             break
-        prev = cur
     else:
         raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
@@ -135,16 +173,16 @@ def exact_key_edges(records: DataFrame, crit: LinkageCriteria) -> DataFrame:
     out = records
     for dc in crit.exactmatch.keys():
         out = out.filter(F.col(dc).isNotNull())
-    key_node = F.xxhash64(
-        F.lit("keynode"), F.lit(str(crit.id)), *[F.col(dc) for dc in crit.exactmatch.keys()]
+    key_node = _node(
+        f"keynode:{crit.id}", [F.col(dc) for dc in crit.exactmatch.keys()]
     )
-    return out.select(F.col("EventId").alias("src"), key_node.alias("dst"))
+    return out.select(_record_node(records).alias("src"), key_node.alias("dst"))
 
 
 def match_pairs(
     records: DataFrame,
     crit: LinkageCriteria,
-    max_block_size: int | None = 10_000,
+    max_block_signatures: int | None = 10_000,
 ) -> DataFrame:
     """Match edges among records under one criteria-set, in VALUE-NODE
     form: ``(src, dst)`` where nodes are EventIds and signature nodes.
@@ -178,9 +216,13 @@ def match_pairs(
     between records whose signatures match.
 
     Blocking = the criteria's own exactmatch key. Blocks with more than
-    ``max_block_size`` DISTINCT signatures are purged from the event role
-    (the quadratic driver is unique values, not rows — a hot block of one
-    repeated value now costs O(rows), no purge needed).
+    ``max_block_signatures`` DISTINCT signatures are purged from the
+    event role — note the unit: unique signatures, not record rows (the
+    quadratic driver is unique values; a hot block of one repeated value
+    costs O(rows) and needs no purge). Callers tuning thresholds against
+    record-count purging (blocking.candidate_pairs' ``max_block_size``)
+    should recalibrate: 10_000 signatures is a far larger block than
+    10_000 rows.
     """
     if not crit.exactmatch:
         raise ValueError(f"criteria {crit.id}: entity formation requires an exact key")
@@ -195,12 +237,12 @@ def match_pairs(
     # an explicit null sentinel (xxhash64 ignores null operands, which
     # would conflate (null, x) with (x, null))
     null_sentinel = F.lit("\x00")
-    vnode = F.xxhash64(
-        F.lit(f"signode:{crit.id}"),
-        *[F.coalesce(F.col(c), null_sentinel) for c in sig_cols],
+    vnode = _node(
+        f"signode:{crit.id}",
+        [F.coalesce(F.col(c), null_sentinel) for c in sig_cols],
     )
 
-    rec_v = records.select(F.col("EventId").alias("src"), vnode.alias("dst"))
+    rec_v = records.select(_record_node(records).alias("src"), vnode.alias("dst"))
     sigs = records.select(*sig_cols).distinct().withColumn("_vn", vnode)
 
     a = sigs.alias("a")
@@ -211,9 +253,9 @@ def match_pairs(
         b = b.filter(F.col(sc).isNotNull())
 
     # block purge on the event-role key, by distinct-signature count
-    if max_block_size is not None:
+    if max_block_signatures is not None:
         sizes = sigs.groupBy(*exact_dc).agg(F.count("*").alias("_bs"))
-        big = sizes.filter(F.col("_bs") > max_block_size).select(*exact_dc)
+        big = sizes.filter(F.col("_bs") > max_block_signatures).select(*exact_dc)
         a = a.join(F.broadcast(big), exact_dc, "left_anti")
 
     cond = None
@@ -278,8 +320,9 @@ def form_entities(
     construct_entityid_from: list[str],
     spine_columns: list[str],
     tablename: str,
-    max_block_size: int | None = 10_000,
+    max_block_signatures: int | None = 10_000,
     order_col: str | None = None,
+    entity_id_expr: Column | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Create entities from unlinked records -> ``(new_spine_rows, links)``.
 
@@ -291,8 +334,12 @@ def form_entities(
       row may join an entity created under any criterion).
     - spine row per component: representative = min EventId;
       ``EntityId = xxhash64(construct_entityid_from...)`` of the
-      representative (runlinkage.jl:293); ``spine_seq`` = representative
-      EventId (deterministic creation-order surrogate for tie-breaks).
+      representative (runlinkage.jl:293) unless ``entity_id_expr``
+      supplies a custom expression over the representative's columns
+      (e.g. an md5 hex string for oracle portability, or a 128-bit id
+      where 64-bit birthday collisions across ~10^9 entities matter);
+      ``spine_seq`` = representative EventId (deterministic
+      creation-order surrogate for tie-breaks).
     - links: every member -> its component's entity, CriteriaId = first
       criterion with complete data (the guaranteed re-link of
       runlinkage.jl:175).
@@ -310,6 +357,9 @@ def form_entities(
     # back to their signature's component — the iterative part of entity
     # formation becomes independent of record count (10^12 turns contract
     # to the unique-identity space before any O(n^2) or iterative work).
+    # The signature key is a 128-bit _node struct: records join back to
+    # components through it, so a 64-bit collision here would silently
+    # merge unrelated records (see the node-id note at the top).
     global_cols: list[str] = []
     for c in criteria:
         for col in (
@@ -320,9 +370,7 @@ def form_entities(
         ):
             if col not in global_cols:
                 global_cols.append(col)
-    gs = F.xxhash64(
-        F.lit("gsig"), *[F.coalesce(F.col(c), F.lit("\x00")) for c in global_cols]
-    )
+    gs = _node("gsig", [F.coalesce(F.col(c), F.lit("\x00")) for c in global_cols])
     eligible_g = eligible.withColumn("_gs", gs)
     gs_records = (
         eligible_g.select("_gs", *global_cols)
@@ -337,7 +385,7 @@ def form_entities(
         p = (
             exact_key_edges(gs_records, c)
             if not c.approxmatch
-            else match_pairs(gs_records, c, max_block_size=max_block_size)
+            else match_pairs(gs_records, c, max_block_signatures=max_block_signatures)
         )
         # fresh output attributes per union branch: the branches share
         # lineage (all derive from `gs_records`), which trips Catalyst's
@@ -350,13 +398,15 @@ def form_entities(
     comp = connected_components(edges)  # (id, component) over signatures
 
     # Records of a signature with NO surviving edge stay singletons (their
-    # own EventId as component) — merging them through the bare signature
-    # node would diverge from pairwise semantics (e.g. identical records
-    # whose only complete criterion fails its fuzzy threshold on a null:
-    # missing has distance 1.0, distances.jl:15-16).
+    # own EventId, lifted into the node space, as component) — merging
+    # them through the bare signature node would diverge from pairwise
+    # semantics (e.g. identical records whose only complete criterion
+    # fails its fuzzy threshold on a null: missing has distance 1.0,
+    # distances.jl:15-16).
+    self_node = F.struct(F.col("EventId").alias("h1"), F.col("EventId").alias("h2"))
     members = eligible_g.join(
         comp.withColumnRenamed("id", "_gs"), "_gs", "left"
-    ).withColumn("component", F.coalesce(F.col("component"), F.col("EventId"))).drop("_gs")
+    ).withColumn("component", F.coalesce(F.col("component"), self_node)).drop("_gs")
 
     # Representative record per component: first in natural-key order
     # (the reference's spine row carries the FIRST record's values —
@@ -373,7 +423,11 @@ def form_entities(
     w = Window.partitionBy("component").orderBy(*order)
     reps = members.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
 
-    entity_id = F.xxhash64(*[F.col(c) for c in construct_entityid_from])
+    entity_id = (
+        F.xxhash64(*[F.col(c) for c in construct_entityid_from])
+        if entity_id_expr is None
+        else entity_id_expr
+    )
     rep_cols = [c for c in spine_columns if c != "EntityId" and c in reps.columns]
     new_spine = reps.select(
         entity_id.alias("EntityId"),
