@@ -3,11 +3,12 @@
 entry(spark): flagship linkage pipeline at sf0.001.
 queries(): one entry per implemented operator (SURVEY.md §2 + the
 training-data-pipeline extensions); each callable (spark, sf_dir) -> DataFrame.
-oracle_sql(): DuckDB twins for the value-hash correctness gate
-(see spinebasedrecordlinkage_jl_spark/entry_queries.py for the lockstep
-construction rules). linkage_full / simhash_pairs / ann_lsh_topk are
-rows-only (iterative connected components, JVM hash bits, numpy
-hyperplanes are not ANSI-SQL-expressible).
+oracle_sql(): DuckDB twins for the value-hash correctness gate — one per
+query, including the iterative pieces (linkage_full's connected
+components as a recursive CTE, simhash via a portable md5-derived bit
+family, sign-LSH via hyperplane literals embedded in the SQL). See
+spinebasedrecordlinkage_jl_spark/entry_queries.py for the lockstep
+construction rules.
 """
 
 from __future__ import annotations

@@ -194,18 +194,40 @@ def lsh_jaccard_verified(
     )
 
 
-def simhash(text: Column, bits: int = 64, shingle_n: int = 4, max_chars: int = 200) -> Column:
-    """SimHash fingerprint (JVM-only): per distinct shingle, xxhash64
+def simhash(
+    text: Column,
+    bits: int = 64,
+    shingle_n: int = 4,
+    max_chars: int = 200,
+    hash_family: str = "xxhash64",
+) -> Column:
+    """SimHash fingerprint (JVM-only): per distinct shingle, a hash
     supplies the bit pattern; each bit position accumulates +1/-1 votes;
     the sign vector is packed back into a long.
 
     Built entirely from array expressions (transform/aggregate/filter)
     so it stays inside whole-stage codegen — no UDF.
+
+    ``hash_family``: ``"xxhash64"`` (default; 64 hash bits, fastest) or
+    ``"md5"`` — the first 8 hex chars of md5(shingle) parsed as a 32-bit
+    integer. md5 exists verbatim in ANSI SQL, which lets the DuckDB
+    oracle replay the whole bit pipeline (same trick as the MinHash
+    family above); cap ``bits`` at 32 with this family.
     """
+    if hash_family == "md5":
+        if bits > 32:
+            raise ValueError("md5 family supplies 32 hash bits; use bits <= 32")
+    elif hash_family != "xxhash64":
+        raise ValueError(f"unknown hash_family {hash_family!r}")
     prefix = F.substring(text, 1, max_chars)
     idx = F.sequence(F.lit(1), F.greatest(F.length(prefix) - (shingle_n - 1), F.lit(1)))
     shingles = F.array_distinct(F.transform(idx, lambda i: prefix.substr(i, F.lit(shingle_n))))
-    hashes = F.transform(shingles, lambda s: F.xxhash64(s))
+    if hash_family == "md5":
+        hashes = F.transform(
+            shingles, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+        )
+    else:
+        hashes = F.transform(shingles, lambda s: F.xxhash64(s))
     # votes[b] = count of shingles with bit b set; bit b of result set iff
     # votes[b]*2 > n_shingles
     n = F.size(hashes)
@@ -225,12 +247,14 @@ def simhash_dedup(
     id_col: str = "doc_id",
     bits: int = 64,
     band_bits: int = 16,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup candidates: docs whose simhash matches on >=1 of the
     bits/band_bits bands (Hamming-distance LSH). Output (id_1, id_2,
     hamming)."""
     sh = df.select(
-        F.col(id_col).alias("id"), simhash(F.col(text_col), bits=bits).alias("sh")
+        F.col(id_col).alias("id"),
+        simhash(F.col(text_col), bits=bits, hash_family=hash_family).alias("sh"),
     )
     n_bands = bits // band_bits
     bands = sh.select(

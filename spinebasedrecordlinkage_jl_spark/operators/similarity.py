@@ -113,13 +113,20 @@ def lsh_bucketed_topk(
     n_bits: int = 8,
     seed: int = 42,
     exclude_self: bool = True,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: sign-LSH bucket join -> exact cosine on the
     candidate set. Recall grows with n_tables; each table is one shuffle
-    key. Output schema identical to brute_force_topk."""
+    key. Output schema identical to brute_force_topk.
+
+    Pass ``dim`` (the embedding dimensionality) to keep plan construction
+    purely lazy; when omitted, a driver-side ``first()`` reads it from
+    the corpus (one tiny Spark job at build time).
+    """
     from pyspark.sql import Window
 
-    dim = len(corpus.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
     planes = _hyperplanes(dim, n_tables, n_bits, seed)
 
     def with_buckets(df: DataFrame, idname: str) -> DataFrame:
