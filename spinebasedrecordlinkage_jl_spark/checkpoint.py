@@ -87,6 +87,8 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
 
 
 def stage_metrics(spine: DataFrame, links: DataFrame) -> dict[str, Any]:
+    """Per-stage lineage metrics recorded in the manifest (consumed by
+    run_linkage after each checkpoint commit)."""
     by_crit = {
         str(r["CriteriaId"]): int(r["n"])
         for r in links.groupBy("CriteriaId").agg({"*": "count"})

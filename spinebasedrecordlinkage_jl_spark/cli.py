@@ -32,6 +32,17 @@ def _load_records(spark: SparkSession, config):
         df = read_table(spark, t.datafile)
         if {"conv_id", "turn_idx", "text"}.issubset(set(df.columns)):
             df = conversation_records(df, tablename=name)
+        elif "EventId" not in df.columns:
+            # generic event table (e.g. a reference-style CSV): surrogate
+            # EventId = hash(tablename, pk values) — O5,
+            # /root/reference/src/runlinkage.jl:131-142
+            from pyspark.sql import functions as F
+
+            from .operators.records import event_id
+
+            df = df.withColumn(
+                "EventId", event_id(name, *[F.col(c) for c in t.primarykey])
+            )
         records[name] = df
     return records
 
@@ -56,22 +67,29 @@ def _load_run(spark: SparkSession, rundir: str):
     return spine, links, events
 
 
-def _write_report(df, outfile: str) -> None:
-    # single CSV file like the reference's report sink (reporting.jl:265-281)
-    pdf = df.toPandas()
+def _write_report(frames, outfile: str) -> None:
+    # single report file like the reference's sink, delimiter inferred
+    # from the extension (reporting.jl:192-196, :265-281): .tsv -> tab
+    import pandas as pd
+
+    pdf = pd.concat(frames) if isinstance(frames, list) else frames.toPandas()
     sep = "\t" if outfile.endswith(".tsv") else ","
     pdf.to_csv(outfile, sep=sep, index=False)
 
 
 def cmd_summarise(args) -> int:
     spark = get_spark("spinelink:summarise")
-    _, links, events = _load_run(spark, args.rundir)
+    spine, links, events = _load_run(spark, args.rundir)
     import pandas as pd
 
-    parts = [
+    # leading spine row like the reference's summary (reporting.jl:30-41);
+    # the reference's extra "LINKAGE RUNS" path-carrying header row is a
+    # deliberate omission (paths are in the manifest instead)
+    parts = [pd.DataFrame([{"tablename": "spine", "status": "existent", "n": spine.count()}])]
+    parts += [
         summarise_run(ev, links, tablename=t).toPandas() for t, ev in sorted(events.items())
     ]
-    pd.concat(parts).to_csv(args.outfile, index=False)
+    _write_report(parts, args.outfile)
     print(args.outfile)
     return 0
 
@@ -80,7 +98,6 @@ def cmd_compare(args) -> int:
     spark = get_spark("spinelink:compare")
     spine1, links1, events1 = _load_run(spark, args.rundir1)
     spine2, links2, events2 = _load_run(spark, args.rundir2)
-    import pandas as pd
 
     parts = [
         compare_spines(spine1, spine2)
@@ -97,7 +114,7 @@ def cmd_compare(args) -> int:
         if e2 is None:
             e2 = e1.limit(0)
         parts.append(compare_event_tables(e1, links1, e2, links2, t).toPandas())
-    pd.concat(parts).to_csv(args.outfile, index=False)
+    _write_report(parts, args.outfile)
     print(args.outfile)
     return 0
 

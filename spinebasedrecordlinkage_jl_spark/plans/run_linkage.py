@@ -38,7 +38,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..checkpoint import RunManifest, StageRecord, read_table, write_table
+from ..checkpoint import RunManifest, StageRecord, read_table, stage_metrics, write_table
 from ..config import LinkageConfig
 from ..operators.linkage import dedup_events, link_table, valid_events
 from ..operators.spine import form_entities
@@ -198,21 +198,13 @@ def run_linkage(
         write_table(links, links_path)
         spine = read_table(spark, spine_path)
         links = read_table(spark, links_path)
-        by_crit = {
-            str(r["CriteriaId"]): int(r["n"])
-            for r in links.groupBy("CriteriaId").agg(F.count("*").alias("n")).collect()
-        }
         manifest.record(
             StageRecord(
                 stage=stage,
                 table=tablename,
                 spine_path=spine_path,
                 links_path=links_path,
-                n_spine=spine.count(),
-                n_links=links.count(),
-                links_by_criteria=by_crit,
-                n_partitions_spine=spine.rdd.getNumPartitions(),
-                n_partitions_links=links.rdd.getNumPartitions(),
+                **stage_metrics(spine, links),
             )
         )
 

@@ -66,7 +66,16 @@ def test_cli_run_summarise_compare(spark, tmp_path):
     assert cli.main(["summarise", run1, summary]) == 0
     sdf = pd.read_csv(summary)
     assert set(sdf.columns) == {"tablename", "status", "n"}
-    assert sdf["n"].sum() == spark.read.parquet(f"{run1}/output/events_transcripts").count()
+    assert sdf[sdf.tablename == "spine"]["n"].iloc[0] == out.count()
+    tbl = sdf[sdf.tablename != "spine"]
+    assert tbl["n"].sum() == spark.read.parquet(f"{run1}/output/events_transcripts").count()
+
+    # delimiter inference from the extension (reporting.jl:192-196)
+    summary_tsv = str(tmp_path / "summary.tsv")
+    assert cli.main(["summarise", run1, summary_tsv]) == 0
+    tdf = pd.read_csv(summary_tsv, sep="\t")
+    assert list(tdf.columns) == list(sdf.columns)
+    assert "\t" in open(summary_tsv).readline()
 
     cmp_out = str(tmp_path / "cmp.csv")
     assert cli.main(["compare", run1, run2, cmp_out]) == 0
