@@ -279,12 +279,33 @@ def worker(cores: int, job: str, base: str) -> None:
     spark.stop()
 
 
+def _code_fingerprint() -> str:
+    """Engine-code fingerprint for the results cache: git HEAD plus a
+    dirty marker. Without it, a rerun after an engine change would
+    silently replay stale timings into BENCH/BASELINE.md."""
+    try:
+        head = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, check=True,
+            cwd=Path(__file__).parent,
+        ).stdout.strip()
+        dirty = subprocess.run(
+            ["git", "status", "--porcelain", "--untracked-files=no"],
+            capture_output=True, text=True, check=True,
+            cwd=Path(__file__).parent,
+        ).stdout.strip()
+        return head + ("+dirty" if dirty else "")
+    except Exception:
+        return "nogit"
+
+
 def _run(cores: int, job: str, base: str) -> dict:
     # On-disk results cache: a rerun (e.g. after growing one pair's
-    # corpus) skips workers already measured on identical inputs.
+    # corpus) skips workers already measured on identical inputs AND
+    # identical engine code (git fingerprint in the key).
     cache_path = Path(DATA_BASE) / "results.json"
     cache = json.loads(cache_path.read_text()) if cache_path.exists() else {}
-    key = f"{job}:{cores}:{Path(base).name}"
+    key = f"{job}:{cores}:{Path(base).name}:{_code_fingerprint()}"
     if key in cache:
         return cache[key]
     proc = subprocess.run(
@@ -394,8 +415,25 @@ Per-query numbers: `python bench.py` (BENCH_r*.json).
     print(md)
 
 
+def probe(job: str, pair: tuple[int, int]) -> None:
+    """Measure ONE (job, pair) cell and print its efficiency — the
+    fast iteration loop while tuning; BENCH/BASELINE.md is only written
+    by the full main() run."""
+    n, mc = CORPUS[(job, pair)]
+    base = prepare(n, mc, need_spine=(job == "link"))
+    out = {}
+    for cores in pair:
+        out[cores] = _run(cores, job, base)
+        print(f"{job}@{cores}: {out[cores]['linkage_sec']}s "
+              f"({out[cores]['linked_records_per_sec']} rec/s)", flush=True)
+    sp = out[pair[0]]["linkage_sec"] / out[pair[1]]["linkage_sec"]
+    print(f"speedup {sp:.2f}x efficiency {sp / 4:.3f}")
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--worker":
         worker(int(sys.argv[2]), sys.argv[3], sys.argv[4])
+    elif len(sys.argv) > 1 and sys.argv[1] == "--probe":
+        probe(sys.argv[2], tuple(int(c) for c in sys.argv[3].split(",")))  # type: ignore[arg-type]
     else:
         main()

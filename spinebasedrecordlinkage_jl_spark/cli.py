@@ -30,6 +30,12 @@ def _load_records(spark: SparkSession, config):
     records = {}
     for name, t in config.tables.items():
         df = read_table(spark, t.datafile)
+        if t.schema:
+            # Schemata.jl-style fail-fast validation of the input file
+            # (one aggregation job; see operators/schema_check.py)
+            from .operators.schema_check import enforce_schema
+
+            df = enforce_schema(df, t)
         if {"conv_id", "turn_idx", "text"}.issubset(set(df.columns)):
             df = conversation_records(df, tablename=name)
         elif "EventId" not in df.columns:

@@ -74,19 +74,59 @@ class LinkageCriteria:
             raise ValueError(f"Criteria {self.id}: needs exactmatch or approxmatch")
 
 
+#: datatypes accepted by per-column schema declarations (the reference's
+#: Schemata.jl set — test/schema/*.toml use String/Int/UInt/Date;
+#: Float/Timestamp/Bool added for parity with Spark's primitive types)
+SCHEMA_DATATYPES = frozenset(
+    {"String", "Int", "UInt", "Float", "Date", "Timestamp", "Bool"}
+)
+
+
+@dataclass(frozen=True)
+class ColumnSchema:
+    """Per-column validation rules, mirroring the Schemata.jl properties
+    the reference declares (``datatype``/``isrequired``/``isunique``/
+    ``validvalues`` — /root/reference/src/unexported/config.jl:32,
+    test/schema/spine.toml:4-11). The engine still compares strings only
+    (runlinkage.jl:56); these rules validate inputs up front so a ported
+    reference config fails fast the same way.
+
+    ``validvalues``: either an explicit tuple of allowed values, or a
+    single ``"lo:hi"`` inclusive range string (numeric compare for
+    Int/UInt/Float, lexicographic for Date/String — ISO dates order
+    correctly). A bare datatype name (``"Int"``, ``"Date"``...) means
+    unconstrained, as in the reference schemas.
+    """
+
+    name: str
+    datatype: str = "String"
+    isrequired: bool = False
+    isunique: bool = False
+    validvalues: tuple[str, ...] | str | None = None
+
+    def __post_init__(self) -> None:
+        if self.datatype not in SCHEMA_DATATYPES:
+            raise ValueError(
+                f"column {self.name}: unknown datatype {self.datatype!r}; "
+                f"valid: {sorted(SCHEMA_DATATYPES)}"
+            )
+
+
 @dataclass(frozen=True)
 class TableConfig:
     """An input event table: name, data location, primary-key columns.
 
     The reference reads a Schemata.jl TOML per table but consumes only
     (name, primarykey, columnorder) — runlinkage.jl:48,100,123-125. We
-    declare those three directly.
+    declare those directly; ``schema`` optionally carries the per-column
+    validation rules (enforced by operators.schema_check at load time).
     """
 
     name: str
     datafile: str
     primarykey: tuple[str, ...]
     columns: tuple[str, ...] = ()
+    schema: tuple[ColumnSchema, ...] = ()
 
 
 @dataclass(frozen=True)
@@ -183,11 +223,33 @@ def load_config(path: str | Path, check_files: bool = True) -> LinkageConfig:
 
     tables: dict[str, TableConfig] = {}
     for t in raw.get("tables", []):
+        # `columns` entries are either bare names or schema tables
+        # ({name, datatype, isrequired, isunique, validvalues}) in the
+        # reference's test/schema/*.toml style; both may be mixed.
+        names: list[str] = []
+        schema: list[ColumnSchema] = []
+        for c in t.get("columns", ()):
+            if isinstance(c, str):
+                names.append(c)
+            else:
+                vv = c.get("validvalues")
+                if isinstance(vv, list):
+                    vv = tuple(str(v) for v in vv)
+                cs = ColumnSchema(
+                    name=c["name"],
+                    datatype=c.get("datatype", "String"),
+                    isrequired=bool(c.get("isrequired", False)),
+                    isunique=bool(c.get("isunique", False)),
+                    validvalues=vv,
+                )
+                names.append(cs.name)
+                schema.append(cs)
         tc = TableConfig(
             name=t["name"],
             datafile=t["datafile"],
             primarykey=tuple(t["primarykey"]),
-            columns=tuple(t.get("columns", ())),
+            columns=tuple(names),
+            schema=tuple(schema),
         )
         if check_files and tc.datafile and not Path(tc.datafile).exists():
             # Fail fast like config.jl:25-26.

@@ -289,6 +289,15 @@ def distance_column(metric: str, a: Column, b: Column) -> Column:
 
     Dispatch: levenshtein stays JVM-side (codegen); everything else is an
     Arrow-batched pandas UDF.
+
+    CONSTRAINT for the pandas metrics: the kernel is marked
+    ``asNondeterministic()`` (to stop Catalyst cloning the Python call
+    across operator boundaries — see _make_pandas_kernel), and Spark
+    refuses nondeterministic expressions inside aggregate functions and
+    join conditions (AnalysisException). Compute the distance into a
+    projection first (``df.withColumn(...)`` / ``attach_distance``), then
+    aggregate or join on the materialized column. ``levenshtein`` has no
+    such restriction.
     """
     if metric == "levenshtein":
         return normalized_levenshtein_column(a, b)
@@ -309,15 +318,17 @@ def attach_distance(
 ):
     """Attach a normalized-distance column.
 
-    JVM metrics (levenshtein, jaro, jarowinkler) are inlined into the
-    candidate plan — whole-stage codegen, no extra operators. For
-    pandas-UDF metrics (dameraulevenshtein, ratcliffobershelp) the
-    optional ``dedup`` mode scores DISTINCT VALUE PAIRS and broadcast-joins
-    the scores back: linkage fields repeat massively, so the Python
-    boundary sees orders of magnitude fewer rows. Caveat: the dedup path
-    evaluates the candidate plan twice (once under the distinct) — worth
-    it only when the UDF dominates; default is direct scoring with the
-    worker-lifetime memo.
+    ``levenshtein`` is inlined into the candidate plan — whole-stage
+    codegen, no extra operators. The pandas-UDF metrics (jaro,
+    jarowinkler, dameraulevenshtein, ratcliffobershelp) score directly by
+    default, with the worker-lifetime memo absorbing repeats; the
+    optional ``dedup=True`` mode instead scores DISTINCT VALUE PAIRS and
+    broadcast-joins the scores back, so the Python boundary sees orders
+    of magnitude fewer rows. Caveat: the dedup path evaluates the
+    candidate plan twice (once under the distinct) — worth it only when
+    the UDF dominates the candidate-build cost, which the memo usually
+    prevents; that is why direct scoring is the default and why
+    criteria_pass does not opt in.
     """
     from pyspark.sql import functions as F
 

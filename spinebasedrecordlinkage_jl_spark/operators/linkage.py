@@ -82,9 +82,13 @@ def criteria_pass(
     if crit.approxmatch:
         total = F.lit(0.0)
         for i, am in enumerate(crit.approxmatch):
-            # Python-metric scoring goes through distinct value pairs
-            # (attach_distance) so candidate rows never cross the Python
-            # boundary; levenshtein stays inline JVM.
+            # levenshtein scores inline (JVM codegen); pandas metrics
+            # score directly through the Arrow kernel, whose
+            # worker-lifetime memo absorbs the massive value repetition
+            # of linkage columns (attach_distance's dedup=True distinct-
+            # pair path is deliberately NOT used here: it evaluates the
+            # candidate join twice, which costs more than the memoized
+            # direct pass).
             cand = attach_distance(
                 cand,
                 am.distancemetric,

@@ -108,15 +108,21 @@ def linkage_records(
     (a column-pruned projection of ``conversation_records`` — per-row
     equal on the shared columns, enforced by tests).
     """
+    # min over struct(turn_idx, text) — NOT min_by(text, turn_idx), which
+    # picks arbitrarily on duplicate turn_idx: ties must break by text,
+    # exactly as conversation_records' sort_array over (turn_idx, role,
+    # text, ...) does for the filtered role (the per-row equal-projection
+    # invariant; tool/ts never differ in ordering when text is equal
+    # because first_user_text only exposes the text field).
     rec = (
         transcripts.filter(F.col("role") == "user")
         .select("conv_id", "turn_idx", "text")
         .groupBy("conv_id")
-        .agg(F.min_by("text", "turn_idx").alias("first_user_text"))
+        .agg(F.min(F.struct("turn_idx", "text")).alias("_first"))
         .select(
             "conv_id",
             event_id(tablename, F.col("conv_id")).alias("EventId"),
-            "first_user_text",
+            F.col("_first.text").alias("first_user_text"),
         )
     )
     ex = _default_extractors() if extractors is None else extractors

@@ -33,35 +33,49 @@ from ..config import LinkageCriteria
 from ..functions.distances import attach_distance
 
 # ---------------------------------------------------------------------------
-# Graph node ids
+# Graph node ids: 64-bit ids, 128-bit collision SAFETY
 # ---------------------------------------------------------------------------
 #
-# Node ids are 128-bit: a struct of two independent xxhash64 values
-# (different salt literals). At the documented 10^12-turn / ~10^9-unique-
-# signature design point a single 64-bit id space has a few-percent
-# birthday probability of at least one collision — which would silently
-# merge unrelated records into one entity, bypassing all match logic.
-# With 128 bits the probability is ~1e-20. Spark groups/joins/orders
-# struct keys natively, so the only cost is 8 extra bytes per edge in the
-# (already signature-contracted, ~|entities|-sized) graph shuffles.
+# At the documented 10^12-turn / ~10^9-unique-signature design point a
+# 64-bit node-id space has a few-percent birthday probability of at
+# least one collision — which would silently merge unrelated records
+# into one entity, bypassing all match logic. Running the whole graph on
+# 128-bit struct ids closes that, but measured ~60% slower connected
+# components (struct keys miss the primitive-key fast paths in every
+# groupBy/join of every round). So instead:
+#
+# - every synthetic node carries TWO independent 64-bit hashes (h1, h2);
+#   h1 is the node id;
+# - before edge building, form_entities enumerates the node POPULATION
+#   (a linear projection of the contracted signature relation — no
+#   pairwise work), groups by h1, and collects the h1 values shared by
+#   distinct (h1, h2) pairs. Expected size at 10^9 signatures: ~0.03
+#   entries (n^2/2^65) — virtually always empty;
+# - colliding nodes (only) are deterministically remapped to
+#   xxhash64(h1, h2), restoring uniqueness; everyone else keeps h1, so
+#   the hot path pays nothing.
+#
+# The result is exact: the ids actually used are verified unique over
+# the actual node population, so the record->component join-back can
+# never silently merge — while CC, the unions, and the distincts all run
+# on primitive longs.
 
 
-def _node(tag: str, cols: list[Column]) -> Column:
-    """128-bit synthetic graph node: two independent 64-bit hashes."""
-    return F.struct(
-        F.xxhash64(F.lit(tag + "#a"), *cols).alias("h1"),
-        F.xxhash64(F.lit(tag + "#b"), *cols).alias("h2"),
+def _node_hashes(tag: str, cols: list[Column]) -> tuple[Column, Column]:
+    """Two independent 64-bit hashes identifying a synthetic node."""
+    return (
+        F.xxhash64(F.lit(tag + "#a"), *cols),
+        F.xxhash64(F.lit(tag + "#b"), *cols),
     )
 
 
-def _record_node(records: DataFrame, id_col: str = "EventId") -> Column:
-    """Lift a record id into the 128-bit node space. Already-struct ids
-    (the contracted signature nodes of form_entities) pass through; plain
-    scalar ids become ``struct(id, id)`` — disjoint from synthetic
-    ``_node`` ids up to a ~2^-128 accident."""
-    if isinstance(records.schema[id_col].dataType, StructType):
-        return F.col(id_col)
-    return F.struct(F.col(id_col).alias("h1"), F.col(id_col).alias("h2"))
+def _node64(tag: str, cols: list[Column], collide: frozenset[int] = frozenset()) -> Column:
+    """Collision-checked 64-bit node id: h1, unless h1 is in the
+    (verified, almost always empty) collision set — then xxhash64(h1, h2)."""
+    h1, h2 = _node_hashes(tag, cols)
+    if not collide:
+        return h1
+    return F.when(h1.isin(*collide), F.xxhash64(h1, h2)).otherwise(h1)
 
 
 # ---------------------------------------------------------------------------
@@ -106,41 +120,67 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return e1.union(e2).filter(F.col("src") != F.col("dst")).distinct()
 
 
-def connected_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
+def connected_components(
+    edges: DataFrame, max_iter: int = 30, convergence: str = "checksum"
+) -> DataFrame:
     """edges(src, dst) -> components(id, component).
 
-    Node ids may be any orderable type (long, or the 128-bit hash structs
-    of form_entities) as long as src and dst agree. ``component`` is the
-    minimum node id of each component. Nodes that only appear as isolated
-    vertices are the caller's concern (left-join + coalesce with their
-    own id).
+    Node ids may be any orderable type (long is the fast path — struct
+    keys measured ~60% slower per round) as long as src and dst agree.
+    ``component`` is the minimum node id of each component. Nodes that
+    only appear as isolated vertices are the caller's concern (left-join
+    + coalesce with their own id).
+
+    ``convergence`` (measured within noise of each other at bench scale;
+    checksum is the default for its shuffle-free per-round action):
+    - ``"checksum"``: stop when (count, bit_xor hash) repeats — a
+      shuffle-free single-stage aggregate per round, but always runs one
+      confirming round past the fixpoint.
+    - ``"star"``: small_star's output orients every edge src > dst, so
+      the edge set is a fixpoint iff it is a star forest (no node on both
+      sides). Testing THIS round's output (one groupBy over the node
+      roles) stops one full contraction round earlier than checksum
+      equality at the cost of a shuffle per check.
     """
     e = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
     if not isinstance(e.schema["src"].dataType, StructType):
         e = e.select(F.col("src").cast("long"), F.col("dst").cast("long"))
     e = e.localCheckpoint(eager=True)
 
+    def _checksum(df: DataFrame) -> tuple[int, int]:
+        row = df.agg(
+            F.count(F.lit(1)).alias("c"),
+            F.coalesce(F.expr("bit_xor(xxhash64(src, dst))"), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return int(row["c"]), int(row["h"])
+
+    def _has_chains(df: DataFrame) -> bool:
+        # a node appearing as src AND dst = a non-star chain; one shuffle
+        roles = df.select(F.col("src").alias("n"), F.lit(1).alias("r")).union(
+            df.select(F.col("dst").alias("n"), F.lit(2).alias("r"))
+        )
+        both = (
+            roles.groupBy("n")
+            .agg(F.min("r").alias("lo"), F.max("r").alias("hi"))
+            .filter((F.col("lo") == 1) & (F.col("hi") == 2))
+        )
+        return both.limit(1).count() > 0
+
+    prev = None
     for _ in range(max_iter):
         e = _large_star(e)
         e = _small_star(e)
-        # lazy checkpoint: the star-test action below materializes it, so
-        # each round costs exactly one job (plus its shuffles)
+        # lazy checkpoint: the convergence action below materializes it,
+        # so each round costs exactly one job (plus its shuffles)
         e = e.localCheckpoint(eager=False)
-        # Convergence: small_star's output orients every edge src > dst,
-        # so the edge set is a fixpoint iff it is a star forest, i.e. no
-        # node appears on both sides. Testing THIS round's output stops
-        # one full round earlier than the previous-checksum-equality rule
-        # (which needed an extra round to observe stability) — the CC
-        # driver loop is the serial fraction of the whole pipeline, so a
-        # round saved is ~25% less cluster drain at typical 2-3 round
-        # convergence.
-        chains = (
-            e.join(e.select(F.col("dst").alias("src")).distinct(), "src", "left_semi")
-            .limit(1)
-            .count()
-        )
-        if chains == 0:
-            break
+        if convergence == "star":
+            if not _has_chains(e):
+                break
+        else:
+            cur = _checksum(e)
+            if cur == prev:
+                break
+            prev = cur
     else:
         raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
@@ -156,7 +196,9 @@ def connected_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def exact_key_edges(records: DataFrame, crit: LinkageCriteria) -> DataFrame:
+def exact_key_edges(
+    records: DataFrame, crit: LinkageCriteria, collide: frozenset[int] = frozenset()
+) -> DataFrame:
     """Linear-cost edges for an EXACT-ONLY criterion: every record with a
     complete key connects to a synthetic key node ``xxhash64('keynode',
     crit.id-tag, key values...)`` instead of to every other record in its
@@ -166,6 +208,9 @@ def exact_key_edges(records: DataFrame, crit: LinkageCriteria) -> DataFrame:
     ones. This is what makes entity formation survive million-record
     blocks at corpus scale; no purging needed on this path.
 
+    ``collide``: the verified h1-collision set from form_entities (see
+    the node-id note at the top); empty for standalone use.
+
     (Sequential-reference parity: records sharing a complete exact key
     always end in one entity — the first appends, the rest self-link as
     single candidates — so key-grouping is the exact set semantics.)
@@ -173,16 +218,17 @@ def exact_key_edges(records: DataFrame, crit: LinkageCriteria) -> DataFrame:
     out = records
     for dc in crit.exactmatch.keys():
         out = out.filter(F.col(dc).isNotNull())
-    key_node = _node(
-        f"keynode:{crit.id}", [F.col(dc) for dc in crit.exactmatch.keys()]
+    key_node = _node64(
+        f"keynode:{crit.id}", [F.col(dc) for dc in crit.exactmatch.keys()], collide
     )
-    return out.select(_record_node(records).alias("src"), key_node.alias("dst"))
+    return out.select(F.col("EventId").alias("src"), key_node.alias("dst"))
 
 
 def match_pairs(
     records: DataFrame,
     crit: LinkageCriteria,
     max_block_signatures: int | None = 10_000,
+    collide: frozenset[int] = frozenset(),
 ) -> DataFrame:
     """Match edges among records under one criteria-set, in VALUE-NODE
     form: ``(src, dst)`` where nodes are EventIds and signature nodes.
@@ -237,12 +283,13 @@ def match_pairs(
     # an explicit null sentinel (xxhash64 ignores null operands, which
     # would conflate (null, x) with (x, null))
     null_sentinel = F.lit("\x00")
-    vnode = _node(
+    vnode = _node64(
         f"signode:{crit.id}",
         [F.coalesce(F.col(c), null_sentinel) for c in sig_cols],
+        collide,
     )
 
-    rec_v = records.select(_record_node(records).alias("src"), vnode.alias("dst"))
+    rec_v = records.select(F.col("EventId").alias("src"), vnode.alias("dst"))
     sigs = records.select(*sig_cols).distinct().withColumn("_vn", vnode)
 
     a = sigs.alias("a")
@@ -357,9 +404,6 @@ def form_entities(
     # back to their signature's component — the iterative part of entity
     # formation becomes independent of record count (10^12 turns contract
     # to the unique-identity space before any O(n^2) or iterative work).
-    # The signature key is a 128-bit _node struct: records join back to
-    # components through it, so a 64-bit collision here would silently
-    # merge unrelated records (see the node-id note at the top).
     global_cols: list[str] = []
     for c in criteria:
         for col in (
@@ -370,22 +414,63 @@ def form_entities(
         ):
             if col not in global_cols:
                 global_cols.append(col)
-    gs = _node("gsig", [F.coalesce(F.col(c), F.lit("\x00")) for c in global_cols])
-    eligible_g = eligible.withColumn("_gs", gs)
-    gs_records = (
-        eligible_g.select("_gs", *global_cols)
-        .distinct()
-        .withColumnRenamed("_gs", "EventId")
+    gs_cols = [F.coalesce(F.col(c), F.lit("\x00")) for c in global_cols]
+    sigs_rel = eligible.select(*global_cols).distinct().localCheckpoint(eager=False)
+
+    # Node-id collision audit over the LINEAR node population (see the
+    # node-id note at the top): one aggregation job on the contracted
+    # relation; the collected set is expected empty (~n^2/2^65 entries).
+    gh1, gh2 = _node_hashes("gsig", gs_cols)
+    pop = sigs_rel.select(gh1.alias("h1"), gh2.alias("h2"))
+    for c in criteria:
+        if not c.approxmatch:
+            part = sigs_rel
+            for dc in c.exactmatch.keys():
+                part = part.filter(F.col(dc).isNotNull())
+            kh1, kh2 = _node_hashes(
+                f"keynode:{c.id}", [F.col(dc) for dc in c.exactmatch.keys()]
+            )
+            part = part.select(kh1.alias("h1"), kh2.alias("h2"))
+        else:
+            crit_cols = list(
+                dict.fromkeys(
+                    list(c.exactmatch.keys())
+                    + list(c.exactmatch.values())
+                    + [am.datacolumn for am in c.approxmatch]
+                    + [am.spinecolumn for am in c.approxmatch]
+                )
+            )
+            sh1, sh2 = _node_hashes(
+                f"signode:{c.id}",
+                [F.coalesce(F.col(cc), F.lit("\x00")) for cc in crit_cols],
+            )
+            part = sigs_rel.select(sh1.alias("h1"), sh2.alias("h2"))
+        part = part.select(F.col("h1").alias("h1"), F.col("h2").alias("h2"))
+        pop = pop.union(part)
+    collide = frozenset(
+        r["h1"]
+        for r in pop.distinct()
+        .groupBy("h1")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > 1)
+        .select("h1")
+        .collect()
     )
+
+    gs = _node64("gsig", gs_cols, collide)
+    eligible_g = eligible.withColumn("_gs", gs)
+    gs_records = sigs_rel.withColumn("EventId", _node64("gsig", gs_cols, collide))
 
     edges = None
     for c in criteria:
         # exact-only criteria: linear key-node edges (skew-immune);
         # fuzzy criteria: value-node scored edges within the exact block
         p = (
-            exact_key_edges(gs_records, c)
+            exact_key_edges(gs_records, c, collide=collide)
             if not c.approxmatch
-            else match_pairs(gs_records, c, max_block_signatures=max_block_signatures)
+            else match_pairs(
+                gs_records, c, max_block_signatures=max_block_signatures, collide=collide
+            )
         )
         # fresh output attributes per union branch: the branches share
         # lineage (all derive from `gs_records`), which trips Catalyst's
@@ -397,16 +482,23 @@ def form_entities(
 
     comp = connected_components(edges)  # (id, component) over signatures
 
-    # Records of a signature with NO surviving edge stay singletons (their
-    # own EventId, lifted into the node space, as component) — merging
-    # them through the bare signature node would diverge from pairwise
-    # semantics (e.g. identical records whose only complete criterion
-    # fails its fuzzy threshold on a null: missing has distance 1.0,
-    # distances.jl:15-16).
-    self_node = F.struct(F.col("EventId").alias("h1"), F.col("EventId").alias("h2"))
-    members = eligible_g.join(
-        comp.withColumnRenamed("id", "_gs"), "_gs", "left"
-    ).withColumn("component", F.coalesce(F.col("component"), self_node)).drop("_gs")
+    # Records of a signature with NO surviving edge stay singletons —
+    # merging them through the bare signature node would diverge from
+    # pairwise semantics (e.g. identical records whose only complete
+    # criterion fails its fuzzy threshold on a null: missing has distance
+    # 1.0, distances.jl:15-16). The final grouping key is a (flag, id)
+    # struct so a singleton's EventId can never alias a component's
+    # 64-bit node id (they live in different hash populations; only this
+    # ONE record-level shuffle pays the struct-key cost).
+    comp_key = F.when(
+        F.col("component").isNotNull(),
+        F.struct(F.lit(0).alias("s"), F.col("component").alias("v")),
+    ).otherwise(F.struct(F.lit(1).alias("s"), F.col("EventId").alias("v")))
+    members = (
+        eligible_g.join(comp.withColumnRenamed("id", "_gs"), "_gs", "left")
+        .withColumn("component", comp_key)
+        .drop("_gs")
+    )
 
     # Representative record per component: first in natural-key order
     # (the reference's spine row carries the FIRST record's values —

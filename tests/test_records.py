@@ -72,6 +72,39 @@ def test_linkage_records_matches_full_aggregation(spark):
     assert full == fast
 
 
+def test_linkage_records_duplicate_turn_idx_ties(spark):
+    """On duplicate turn_idx within a conversation both aggregation paths
+    must pick the SAME first user text (ties break by text, matching
+    sort_array's struct ordering) — min_by(text, turn_idx) would pick
+    arbitrarily here."""
+    from spinebasedrecordlinkage_jl_spark.operators.records import linkage_records
+
+    rows = [
+        # conv with turn_idx 0 duplicated; 'aaa...' < 'zzz...' breaks the tie
+        ("c1", 0, "user", "hello my name is zed zulu 1990-01-01", None),
+        ("c1", 0, "user", "hello my name is amy adams 1990-01-01", None),
+        ("c1", 1, "assistant", "hi", None),
+        # duplicate turn_idx where an assistant row ties with a user row
+        ("c2", 0, "assistant", "aaa first by text but wrong role", None),
+        ("c2", 0, "user", "hello my name is bob brown 1991-01-01", None),
+    ]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    ).withColumn("ts", F.current_timestamp())
+
+    full = {
+        r["conv_id"]: r["first_user_text"]
+        for r in conversation_records(t).select("conv_id", "first_user_text").collect()
+    }
+    fast = {
+        r["conv_id"]: r["first_user_text"]
+        for r in linkage_records(t).select("conv_id", "first_user_text").collect()
+    }
+    assert full == fast
+    assert full["c1"] == "hello my name is amy adams 1990-01-01"
+    assert full["c2"] == "hello my name is bob brown 1991-01-01"
+
+
 def test_linkage_records_drops_userless_conversations(spark):
     from spinebasedrecordlinkage_jl_spark.operators.records import linkage_records
 
