@@ -91,17 +91,37 @@ def _burn(q):
     q.put(n)
 
 
-def calibrate(cores: int) -> float:
-    """Raw hashes/sec with `cores` pinned busy processes: what this VM
-    actually delivers for embarrassingly-parallel compute at this core
-    count. Run in a pinned subprocess so the parent stays unpinned."""
+def _bw_burn(q):
+    """Streaming-copy burn (~2x64 MB working set, far beyond LLC): what
+    the shared memory subsystem delivers per core count. Spark shuffle/
+    sort stages are bandwidth-bound, so this ceiling binds them the way
+    the sha256 ceiling binds pure compute."""
+    import numpy as np
+
+    a = np.zeros(64 << 20, dtype=np.uint8)
+    b = np.zeros_like(a)
+    n = 0
+    t_end = time.time() + 12
+    while time.time() < t_end:
+        np.copyto(b, a)
+        np.copyto(a, b)
+        n += 2 * a.nbytes
+    q.put(n)
+
+
+def calibrate(cores: int, burn: str = "_burn") -> float:
+    """Raw throughput with `cores` pinned busy processes: what this VM
+    actually delivers for embarrassingly-parallel work at this core
+    count (``_burn`` = cache-resident sha256 compute, ``_bw_burn`` =
+    streaming memory copies). Run in a pinned subprocess so the parent
+    stays unpinned."""
     code = (
         "import sys; sys.path.insert(0, %r); import bench_scaling as b;"
         "import multiprocessing as mp; q = mp.Queue();"
-        "ps = [mp.Process(target=b._burn, args=(q,)) for _ in range(%d)];"
+        "ps = [mp.Process(target=b.%s, args=(q,)) for _ in range(%d)];"
         "import time; t0=time.time(); [p.start() for p in ps];"
         "tot = sum(q.get() for p in ps); [p.join() for p in ps];"
-        "print('CAL', tot/(time.time()-t0))" % (str(Path(__file__).parent), cores)
+        "print('CAL', tot/(time.time()-t0))" % (str(Path(__file__).parent), burn, cores)
     )
     out = subprocess.run(
         ["taskset", "-c", f"0-{cores - 1}", sys.executable, "-c", code],
@@ -308,12 +328,17 @@ def _run(cores: int, job: str, base: str) -> dict:
     key = f"{job}:{cores}:{Path(base).name}:{_code_fingerprint()}"
     if key in cache:
         return cache[key]
+    # Heap: 24g per level; the 32-core level gets 32g — on a real cluster
+    # the 4N level brings 4N executors' total memory, so a fixed heap
+    # handicaps the high-parallelism level of the single-JVM proxy (at 32
+    # concurrently-materializing checkpoint partitions, 24g OOMs).
+    mem = os.environ.get("SPINELINK_DRIVER_MEM", "32g" if cores >= 32 else "24g")
     proc = subprocess.run(
         ["taskset", "-c", f"0-{cores - 1}", sys.executable, __file__,
          "--worker", str(cores), job, base],
         capture_output=True,
         text=True,
-        env={**os.environ, "SPINELINK_DRIVER_MEM": os.environ.get("SPINELINK_DRIVER_MEM", "24g")},
+        env={**os.environ, "SPINELINK_DRIVER_MEM": mem},
     )
     lines = [l for l in proc.stdout.splitlines() if l.startswith("SCALEJSON ")]
     if not lines:
@@ -326,11 +351,18 @@ def _run(cores: int, job: str, base: str) -> dict:
 
 
 def main() -> None:
-    # raw-CPU machine calibration per core count (pinned sha256 burn)
+    # machine calibration per core count: pinned sha256 burn (compute
+    # ceiling) + pinned streaming-copy burn (memory-bandwidth ceiling)
     cal = {}
+    bw = {}
     for c in sorted({c for p in PAIRS for c in p}):
         cal[c] = calibrate(c)
-        print(f"calibrate cores={c}: {cal[c]:.0f} hashes/s", flush=True)
+        bw[c] = calibrate(c, "_bw_burn")
+        print(
+            f"calibrate cores={c}: {cal[c]:.0f} hashes/s, "
+            f"{bw[c] / (1 << 30):.1f} GiB/s copy",
+            flush=True,
+        )
 
     res = {}
     for job in ("link", "full"):
@@ -377,18 +409,27 @@ separate JVMs, each pinned to exactly its core count with `taskset -c`
 (JVM + GC + Arrow Python workers) — the single-box proxy for N vs 4N
 executors. Input synthesis, spine bootstrap, JVM start and an
 Arrow-pool warm-up are untimed; best of {REPEATS} reps per level;
-per-rep checkpoint RDDs unpersisted between reps.
+per-rep checkpoint RDDs unpersisted between reps. Heap: 24g per level
+(32g at 32 cores — a real cluster's 4N level brings 4N executors'
+total memory, so a fixed single-JVM heap would handicap it).
 
-**Machine ceiling (raw-CPU calibration, pinned sha256 burn, no memory
-traffic, no coordination):** this VM delivers
-{cal[8] / cal[2]:.2f}x from 2->8 cores and {cal[32] / cal[8]:.2f}x from
-8->32 cores (ceiling efficiency {cal[8] / cal[2] / 4:.3f} and
-{cal[32] / cal[8] / 4:.3f}). 32 busy vCPUs clock lower / get less
-hypervisor share than 8; that cap binds every workload on this box and
-does not exist on a real cluster (4N executors bring 4N sockets).
-The 2->8 pair is therefore the evidentiary pair for the >=0.8
-criterion; 8->32 is reported alongside, absolute and
-machine-normalized (speedup / machine-ceiling speedup).
+**Machine ceilings (pinned calibration burns):**
+
+- compute (cache-resident sha256): {cal[8] / cal[2]:.2f}x from 2->8
+  cores and {cal[32] / cal[8]:.2f}x from 8->32 (ceiling efficiency
+  {cal[8] / cal[2] / 4:.3f} and {cal[32] / cal[8] / 4:.3f});
+- memory bandwidth (streaming 64 MiB copies, the regime shuffle/sort
+  stages live in): {bw[2] / (1 << 30):.1f} / {bw[8] / (1 << 30):.1f} /
+  {bw[32] / (1 << 30):.1f} GiB/s at 2/8/32 cores —
+  {bw[8] / bw[2]:.2f}x from 2->8, {bw[32] / bw[8]:.2f}x from 8->32
+  (ceiling efficiency {bw[8] / bw[2] / 4:.3f} and {bw[32] / bw[8] / 4:.3f}).
+
+32 busy vCPUs clock lower, share one memory subsystem and get less
+hypervisor share than 8; those caps bind every workload on this box and
+do not exist on a real cluster (4N executors bring 4N sockets and 4N
+memory controllers). The 2->8 pair is therefore the evidentiary pair
+for the >=0.8 criterion; 8->32 is reported alongside, absolute and
+machine-normalized (speedup / compute-ceiling speedup).
 
 ## Headline: steady-state linkage throughput (linked records/sec)
 

@@ -1,0 +1,55 @@
+"""Streaming linkage: link arriving conversation records to the frozen
+spine, micro-batch by micro-batch.
+
+The steady-state production shape of the north star: the spine already
+exists (entity formation is the batch bootstrap — spine.form_entities),
+and new transcripts arrive continuously. Each micro-batch runs the SAME
+criteria passes as the batch engine (operators/linkage.link_table — the
+spine side broadcast, event side never shuffled), so streaming and batch
+linkage cannot drift: one implementation, two drivers.
+
+``foreachBatch`` rather than a stateful operator because linkage against
+a FROZEN spine is stateless per record — exactly-once delivery to the
+links sink comes from Structured Streaming's batch-id-keyed idempotent
+writes (epoch id passed to the sink).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from ..config import LinkageCriteria
+from ..operators.linkage import link_table
+
+
+def stream_link_to_spine(
+    records: DataFrame,
+    spine: DataFrame,
+    criteria: list[LinkageCriteria],
+    tablename: str,
+    sink: Callable[[DataFrame, int], None],
+    checkpoint_dir: str,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Start a streaming query linking ``records`` (a streaming frame of
+    conversation records) against the frozen ``spine``.
+
+    ``sink(links_df, epoch_id)`` receives each micro-batch's links frame
+    (TableName, EventId, EntityId, CriteriaId); write idempotently keyed
+    on ``epoch_id`` for exactly-once (e.g. Iceberg overwrite-by-filter
+    on a batch-id column, or a transactional append).
+    """
+
+    def _link_batch(batch: DataFrame, epoch_id: int) -> None:
+        links = link_table(batch, spine, criteria, tablename)
+        sink(links, epoch_id)
+
+    writer = records.writeStream.foreachBatch(_link_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

@@ -39,3 +39,40 @@ def test_star_graph(spark):
 def test_empty_edges(spark):
     df = spark.createDataFrame([], "src long, dst long")
     assert connected_components(df).count() == 0
+
+
+def test_both_convergence_rules_agree(spark):
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)] + [(20, 21), (22, 21)], "src long, dst long"
+    )
+    a = {r["id"]: r["component"] for r in connected_components(df, convergence="checksum").collect()}
+    b = {r["id"]: r["component"] for r in connected_components(df, convergence="star").collect()}
+    assert a == b
+    assert set(a.values()) == {1, 20}
+
+
+def test_node64_collision_remap(spark):
+    """_node64 keeps h1 for non-colliding nodes and deterministically
+    remaps nodes whose h1 is in the audited collision set."""
+    from pyspark.sql import functions as F
+
+    from spinebasedrecordlinkage_jl_spark.operators.spine import _node64, _node_hashes
+
+    df = spark.createDataFrame([(str(i),) for i in range(6)], "v string")
+    h1, h2 = _node_hashes("t", [F.col("v")])
+    rows = df.select("v", h1.alias("h1"), h2.alias("h2")).collect()
+    collide = frozenset([rows[0]["h1"], rows[3]["h1"]])
+    out = {
+        r["v"]: r["n"]
+        for r in df.select("v", _node64("t", [F.col("v")], collide).alias("n")).collect()
+    }
+    remapped = 0
+    for r in rows:
+        if r["h1"] in collide:
+            assert out[r["v"]] != r["h1"]
+            remapped += 1
+        else:
+            assert out[r["v"]] == r["h1"]
+    assert remapped == 2
+    # ids stay unique after the remap
+    assert len(set(out.values())) == 6
