@@ -194,6 +194,48 @@ def lsh_jaccard_verified(
     )
 
 
+def neardup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.2,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    shingle_n: int = 8,
+    max_chars: int = 100,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS: transitive closure over the LSH-verified
+    pair graph, one canonical document per cluster — the corpus-dedup
+    decision step ("keep one of each near-dup family").
+
+    Pipeline: MinHash-LSH candidates -> exact n-gram Jaccard verify
+    (lsh_jaccard_verified, the 100 TB-shaped path) -> connected
+    components (large-star/small-star over doc ids) -> every document
+    mapped to its cluster's minimum doc id. Documents with no surviving
+    near-dup edge are their own singleton cluster.
+
+    Output: (doc_id, cluster_id, is_canonical) — filter
+    ``is_canonical`` to materialize the deduplicated corpus, or group by
+    ``cluster_id`` for family statistics.
+    """
+    from .spine import connected_components
+
+    pairs = lsh_jaccard_verified(
+        df, text_col, id_col, threshold, num_hashes, rows_per_band, shingle_n, max_chars
+    )
+    edges = pairs.select(F.col("id_1").alias("src"), F.col("id_2").alias("dst"))
+    comp = connected_components(edges).withColumnRenamed("id", "_id")
+    docs = df.select(F.col(id_col).cast("long").alias("doc_id"))
+    return (
+        docs.join(comp, docs["doc_id"] == F.col("_id"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id"),
+        )
+        .withColumn("is_canonical", (F.col("doc_id") == F.col("cluster_id")).cast("int"))
+    )
+
+
 def simhash(
     text: Column,
     bits: int = 64,
