@@ -38,7 +38,12 @@ def _rows_to_set(cols, rows):
 
 
 ORACLE_NAMES = sorted(entry_mod.oracle_sql().keys())
-ROWS_ONLY = sorted(set(entry_mod.queries()) - set(ORACLE_NAMES))
+
+
+def test_every_query_has_an_oracle():
+    """29/29: no rows-only entries — every registry query is value-hash
+    verifiable against DuckDB."""
+    assert sorted(entry_mod.queries().keys()) == ORACLE_NAMES
 
 
 @pytest.mark.parametrize("name", ORACLE_NAMES)
@@ -62,13 +67,6 @@ def test_oracle_parity(spark, duck, name):
         diff_a = [r for r in a if r not in set(b)][:5]
         diff_b = [r for r in b if r not in set(a)][:5]
         raise AssertionError(f"{name}: value mismatch\n spark-only={diff_a}\n duck-only={diff_b}")
-
-
-@pytest.mark.parametrize("name", ROWS_ONLY)
-def test_rows_only_queries_run(spark, name):
-    df = entry_mod.queries()[name](spark, SF_DIR)
-    assert df.count() >= 0
-    assert len(df.schema.fields) > 0
 
 
 def test_entry_smoke(spark):
