@@ -190,6 +190,85 @@ def _approx_list(raw: Any) -> tuple[ApproxMatch, ...]:
     )
 
 
+def _toml_str(v: str) -> str:
+    return '"' + v.replace("\\", "\\\\").replace('"', '\\"') + '"'
+
+
+def write_config(path: str | Path, config: LinkageConfig) -> None:
+    """Serialize a LinkageConfig back to TOML — the reference's
+    ``write_config`` (/root/reference/src/unexported/config.jl:178-199,
+    exercised by test/testset1.jl:8-9). ``load_config(write_config(c))``
+    round-trips to an equal config (schema declarations included)."""
+    out = [
+        f"projectname = {_toml_str(config.projectname)}",
+        f"description = {_toml_str(config.description)}",
+        f"output_directory = {_toml_str(config.output_directory)}",
+        f"append_to_spine = {'true' if config.append_to_spine else 'false'}",
+        "construct_entityid_from = ["
+        + ", ".join(_toml_str(c) for c in config.construct_entityid_from)
+        + "]",
+        f"block_salt_buckets = {config.block_salt_buckets}",
+        f"broadcast_spine = {'true' if config.broadcast_spine else 'false'}",
+    ]
+    if config.checkpoint_dir:
+        out.append(f"checkpoint_dir = {_toml_str(config.checkpoint_dir)}")
+    out += [
+        "",
+        "[spine]",
+        f"datafile = {_toml_str(config.spine_datafile or '')}",
+        "columns = [" + ", ".join(_toml_str(c) for c in config.spine_columns) + "]",
+    ]
+    for t in config.tables.values():
+        out += [
+            "",
+            "[[tables]]",
+            f"name = {_toml_str(t.name)}",
+            f"datafile = {_toml_str(t.datafile)}",
+            "primarykey = [" + ", ".join(_toml_str(c) for c in t.primarykey) + "]",
+        ]
+        if t.columns:
+            schema_by_name = {cs.name: cs for cs in t.schema}
+            cols = []
+            for name in t.columns:
+                cs = schema_by_name.get(name)
+                if cs is None:
+                    cols.append(_toml_str(name))
+                else:
+                    entry = (
+                        f"{{name = {_toml_str(cs.name)}, datatype = {_toml_str(cs.datatype)}, "
+                        f"isrequired = {'true' if cs.isrequired else 'false'}, "
+                        f"isunique = {'true' if cs.isunique else 'false'}"
+                    )
+                    if isinstance(cs.validvalues, str):
+                        entry += f", validvalues = {_toml_str(cs.validvalues)}"
+                    elif cs.validvalues is not None:
+                        entry += (
+                            ", validvalues = ["
+                            + ", ".join(_toml_str(v) for v in cs.validvalues)
+                            + "]"
+                        )
+                    cols.append(entry + "}")
+            out.append("columns = [\n  " + ",\n  ".join(cols) + ",\n]")
+    for c in config.criteria:
+        out += ["", "[[criteria]]", f"tablename = {_toml_str(c.tablename)}"]
+        if c.exactmatch:
+            out.append("[criteria.exactmatch]")
+            out += [
+                f"{k if k.replace('_', '').replace('-', '').isalnum() else _toml_str(k)}"
+                f" = {_toml_str(v)}"
+                for k, v in c.exactmatch.items()
+            ]
+        for am in c.approxmatch:
+            out += [
+                "[[criteria.approxmatch]]",
+                f"datacolumn = {_toml_str(am.datacolumn)}",
+                f"spinecolumn = {_toml_str(am.spinecolumn)}",
+                f"distancemetric = {_toml_str(am.distancemetric)}",
+                f"threshold = {am.threshold!r}",
+            ]
+    Path(path).write_text("\n".join(out) + "\n")
+
+
 def load_config(path: str | Path, check_files: bool = True) -> LinkageConfig:
     """Parse a TOML config file into a validated LinkageConfig.
 

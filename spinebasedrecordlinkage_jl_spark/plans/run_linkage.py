@@ -226,6 +226,11 @@ def run_linkage(
     )
     from dataclasses import asdict as _asdict
 
+    from ..config import write_config as _write_config
+
+    # the reference writes the parsed config back out (write_config,
+    # config.jl:178-199, testset1.jl:8-9); JSON twin below for tooling
+    _write_config(indir / "config_resolved.toml", config)
     (indir / "config_resolved.json").write_text(
         _json.dumps(
             {

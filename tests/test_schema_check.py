@@ -106,3 +106,52 @@ id = "id"
     assert [c.name for c in t.schema] == ["id", "postcode"]
     assert t.schema[0].isunique and t.schema[0].isrequired
     assert t.schema[1].validvalues == "3000:3999"
+
+
+def test_write_config_round_trips(tmp_path):
+    """write_config -> load_config reproduces the config exactly
+    (reference write_config parity, testset1.jl:8-9)."""
+    from spinebasedrecordlinkage_jl_spark.config import (
+        ApproxMatch,
+        LinkageConfig,
+        LinkageCriteria,
+        write_config,
+    )
+
+    cfg = LinkageConfig(
+        projectname="rt",
+        description='with "quotes" and specials',
+        output_directory=str(tmp_path / "out"),
+        spine_datafile=None,
+        spine_columns=("EntityId", "firstname", "lastname"),
+        append_to_spine=True,
+        construct_entityid_from=("firstname", "lastname"),
+        tables={
+            "t": TableConfig(
+                name="t",
+                datafile="",
+                primarykey=("id",),
+                columns=("id", "postcode", "free_text"),
+                schema=(
+                    ColumnSchema("id", datatype="Int", isrequired=True, isunique=True),
+                    ColumnSchema("postcode", datatype="Int", validvalues="3000:3999"),
+                ),
+            )
+        },
+        criteria=(
+            LinkageCriteria(id=1, tablename="t", exactmatch={"id": "id"}),
+            LinkageCriteria(
+                id=2,
+                tablename="t",
+                exactmatch={"postcode": "postcode"},
+                approxmatch=(ApproxMatch("free_text", "free_text", "jarowinkler", 0.25),),
+            ),
+        ),
+        block_salt_buckets=4,
+        broadcast_spine=False,
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    p = tmp_path / "rt.toml"
+    write_config(p, cfg)
+    got = load_config(p, check_files=False)
+    assert got == cfg
