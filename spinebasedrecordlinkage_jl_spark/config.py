@@ -17,10 +17,15 @@ Differences from the reference (deliberate, Spark-first):
 
 from __future__ import annotations
 
+import re
 import tomllib
 from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Any
+
+#: TOML bare keys are ASCII-only ([A-Za-z0-9_-]); str.isalnum() would
+#: accept non-ASCII letters and serialize an invalid unquoted key.
+_TOML_BARE_KEY = re.compile(r"^[A-Za-z0-9_-]+$")
 
 #: Closed metric set: the reference whitelists these four
 #: (config.jl:62-66); jarowinkler is our single addition.
@@ -92,10 +97,12 @@ class ColumnSchema:
     reference config fails fast the same way.
 
     ``validvalues``: either an explicit tuple of allowed values, or a
-    single ``"lo:hi"`` inclusive range string (numeric compare for
-    Int/UInt/Float, lexicographic for Date/String — ISO dates order
-    correctly). A bare datatype name (``"Int"``, ``"Date"``...) means
-    unconstrained, as in the reference schemas.
+    single ``"lo:hi"`` / ``"lo..hi"`` inclusive range string (numeric
+    compare for Int/UInt/Float, lexicographic for Date/String — ISO
+    dates order correctly). Timestamp ranges MUST use the ``"lo..hi"``
+    form (timestamp values contain ``:``). A bare datatype name
+    (``"Int"``, ``"Date"``...) means unconstrained, as in the reference
+    schemas.
     """
 
     name: str
@@ -109,6 +116,16 @@ class ColumnSchema:
             raise ValueError(
                 f"column {self.name}: unknown datatype {self.datatype!r}; "
                 f"valid: {sorted(SCHEMA_DATATYPES)}"
+            )
+        if (
+            self.datatype == "Timestamp"
+            and isinstance(self.validvalues, str)
+            and ".." not in self.validvalues
+        ):
+            raise ValueError(
+                f"column {self.name}: Timestamp ranges must be written "
+                "'lo..hi' — timestamp values contain ':' so a ':' range "
+                "is ambiguous"
             )
 
 
@@ -254,7 +271,7 @@ def write_config(path: str | Path, config: LinkageConfig) -> None:
         if c.exactmatch:
             out.append("[criteria.exactmatch]")
             out += [
-                f"{k if k.replace('_', '').replace('-', '').isalnum() else _toml_str(k)}"
+                f"{k if _TOML_BARE_KEY.match(k) else _toml_str(k)}"
                 f" = {_toml_str(v)}"
                 for k, v in c.exactmatch.items()
             ]

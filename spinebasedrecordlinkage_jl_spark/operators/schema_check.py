@@ -58,9 +58,19 @@ def _rule_aggs(cs: ColumnSchema) -> list[tuple[str, Column]]:
         out.append(("unique", F.count(c) - F.count_distinct(c)))
     if cs.validvalues is not None:
         if isinstance(cs.validvalues, str):
-            lo, _, hi = cs.validvalues.partition(":")
+            # 'lo..hi' is accepted for every type and REQUIRED for
+            # Timestamp (timestamps contain ':', so partition(':') would
+            # silently mis-split; ColumnSchema.__post_init__ rejects it)
+            if ".." in cs.validvalues:
+                lo, _, hi = cs.validvalues.partition("..")
+            else:
+                lo, _, hi = cs.validvalues.partition(":")
             if cs.datatype in _NUMERIC:
                 in_range = typed.between(float(lo), float(hi))
+            elif cs.datatype == "Timestamp":
+                in_range = typed.between(
+                    F.to_timestamp(F.lit(lo)), F.to_timestamp(F.lit(hi))
+                )
             else:
                 in_range = c.between(lo, hi)  # lexicographic; ISO dates order
             out.append(("validvalues", F.count_if(c.isNotNull() & ~in_range)))

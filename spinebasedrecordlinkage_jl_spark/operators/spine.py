@@ -56,9 +56,11 @@ from ..functions.distances import attach_distance
 #   the hot path pays nothing.
 #
 # The result is exact: the ids actually used are verified unique over
-# the actual node population, so the record->component join-back can
-# never silently merge — while CC, the unions, and the distincts all run
-# on primitive longs.
+# the actual node population — including the remapped ids themselves,
+# which are re-checked against the population whenever the collision set
+# is non-empty (_assert_ids_unique) — so the record->component join-back
+# can never silently merge, while CC, the unions, and the distincts all
+# run on primitive longs.
 
 
 def _node_hashes(tag: str, cols: list[Column]) -> tuple[Column, Column]:
@@ -67,6 +69,23 @@ def _node_hashes(tag: str, cols: list[Column]) -> tuple[Column, Column]:
         F.xxhash64(F.lit(tag + "#a"), *cols),
         F.xxhash64(F.lit(tag + "#b"), *cols),
     )
+
+
+def _assert_ids_unique(pop: DataFrame, collide: frozenset[int]) -> None:
+    """Verify the FINAL node ids (h1, or xxhash64(h1, h2) for audited
+    collisions) are unique over the distinct (h1, h2) node population;
+    raise if a remapped id aliases any other node's id."""
+    final_id = F.when(
+        F.col("h1").isin(*collide), F.xxhash64(F.col("h1"), F.col("h2"))
+    ).otherwise(F.col("h1"))
+    dups = pop.select(final_id.alias("id")).groupBy("id").agg(
+        F.count("*").alias("_n")
+    ).filter(F.col("_n") > 1)
+    if not dups.isEmpty():
+        raise RuntimeError(
+            "node-id collision remap produced a non-unique id; "
+            "rerun with different criteria tags or report this input"
+        )
 
 
 def _node64(tag: str, cols: list[Column], collide: frozenset[int] = frozenset()) -> Column:
@@ -155,16 +174,22 @@ def connected_components(
         return int(row["c"]), int(row["h"])
 
     def _has_chains(df: DataFrame) -> bool:
-        # a node appearing as src AND dst = a non-star chain; one shuffle
-        roles = df.select(F.col("src").alias("n"), F.lit(1).alias("r")).union(
-            df.select(F.col("dst").alias("n"), F.lit(2).alias("r"))
-        )
-        both = (
+        # Star-forest test, one shuffle. The edge set (small_star output:
+        # distinct, src > dst) is a star forest iff BOTH hold:
+        #   1. no node appears as src AND dst (no chains), and
+        #   2. every src has exactly one dst — a src pointing at two
+        #      roots (e.g. {(5,3),(5,1),(7,3)}) passes test 1 but is not
+        #      a star forest, and extracting it would emit node 5 into
+        #      two components.
+        roles = df.select(
+            F.col("src").alias("n"), F.lit(1).alias("s"), F.lit(0).alias("d")
+        ).union(df.select(F.col("dst").alias("n"), F.lit(0).alias("s"), F.lit(1).alias("d")))
+        bad = (
             roles.groupBy("n")
-            .agg(F.min("r").alias("lo"), F.max("r").alias("hi"))
-            .filter((F.col("lo") == 1) & (F.col("hi") == 2))
+            .agg(F.sum("s").alias("ns"), F.sum("d").alias("nd"))
+            .filter(((F.col("ns") > 0) & (F.col("nd") > 0)) | (F.col("ns") > 1))
         )
-        return both.limit(1).count() > 0
+        return not bad.isEmpty()
 
     prev = None
     for _ in range(max_iter):
@@ -447,15 +472,21 @@ def form_entities(
             part = sigs_rel.select(sh1.alias("h1"), sh2.alias("h2"))
         part = part.select(F.col("h1").alias("h1"), F.col("h2").alias("h2"))
         pop = pop.union(part)
+    pop = pop.distinct()
     collide = frozenset(
         r["h1"]
-        for r in pop.distinct()
-        .groupBy("h1")
+        for r in pop.groupBy("h1")
         .agg(F.count("*").alias("_n"))
         .filter(F.col("_n") > 1)
         .select("h1")
         .collect()
     )
+    if collide:
+        # Re-verify the REMAPPED ids against the full node population:
+        # xxhash64(h1, h2) could itself (at ~2^-64 per remap) alias an
+        # existing h1. Only runs on the ~never branch (collide is
+        # expected empty), so the extra job costs nothing in steady state.
+        _assert_ids_unique(pop, collide)
 
     gs = _node64("gsig", gs_cols, collide)
     eligible_g = eligible.withColumn("_gs", gs)

@@ -51,6 +51,28 @@ def test_both_convergence_rules_agree(spark):
     assert set(a.values()) == {1, 20}
 
 
+def test_star_rule_multi_root_src_counterexample(spark):
+    """A weak star check (only 'no node is both src and dst') stops
+    early on graphs where small_star leaves one src pointing at two
+    roots — e.g. this input once assigned node 3 to components 1 AND 2.
+    The strengthened check must keep contracting to one component."""
+    for edges in ([(3, 2), (3, 4), (5, 1), (5, 4)], [(5, 3), (5, 1), (7, 3)]):
+        df = spark.createDataFrame(edges, "src long, dst long")
+        star = {
+            r["id"]: r["component"]
+            for r in connected_components(df, convergence="star").collect()
+        }
+        checksum = {
+            r["id"]: r["component"]
+            for r in connected_components(df, convergence="checksum").collect()
+        }
+        assert star == checksum
+        nodes = {n for e in edges for n in e}
+        assert set(star.keys()) == nodes
+        # all edges connect transitively -> exactly one component, min id
+        assert set(star.values()) == {min(nodes)}
+
+
 def test_node64_collision_remap(spark):
     """_node64 keeps h1 for non-colliding nodes and deterministically
     remaps nodes whose h1 is in the audited collision set."""
@@ -76,3 +98,13 @@ def test_node64_collision_remap(spark):
     assert remapped == 2
     # ids stay unique after the remap
     assert len(set(out.values())) == 6
+
+
+def test_remapped_ids_reverified_against_population(spark):
+    """When the audit finds colliding h1 values, the remapped ids are
+    re-checked for uniqueness over the whole node population."""
+    from spinebasedrecordlinkage_jl_spark.operators.spine import _assert_ids_unique
+
+    # two distinct nodes sharing h1=1 (the collision), plus a bystander
+    pop = spark.createDataFrame([(1, 10), (1, 20), (2, 30)], "h1 long, h2 long")
+    _assert_ids_unique(pop, frozenset([1]))  # xxhash64(1,10) != xxhash64(1,20)

@@ -75,6 +75,34 @@ def test_unknown_datatype_rejected():
         ColumnSchema("x", datatype="Complex")
 
 
+def test_timestamp_colon_range_rejected():
+    """A ':' range for Timestamp would mis-split on the time-of-day
+    colons and lexicographically validate garbage; it must be rejected
+    at declaration time in favour of 'lo..hi'."""
+    with pytest.raises(ValueError, match="lo\\.\\.hi"):
+        ColumnSchema(
+            "ts",
+            datatype="Timestamp",
+            validvalues="2020-01-01 00:00:00:2021-01-01 00:00:00",
+        )
+
+
+def test_timestamp_dotdot_range_validates(spark):
+    df = spark.createDataFrame(
+        [("1", "2020-06-01 12:30:00"), ("2", "2022-01-01 00:00:01"), ("3", None)],
+        "id string, ts string",
+    )
+    tcfg = _tcfg(
+        ColumnSchema(
+            "ts",
+            datatype="Timestamp",
+            validvalues="2020-01-01 00:00:00..2021-01-01 00:00:00",
+        )
+    )
+    got = dict(((c, r), n) for c, r, n in schema_violations(df, tcfg))
+    assert got == {("ts", "validvalues"): 1}  # only the 2022 row
+
+
 def test_toml_schema_declarations(tmp_path):
     cfg = tmp_path / "c.toml"
     cfg.write_text(
@@ -152,6 +180,31 @@ def test_write_config_round_trips(tmp_path):
         checkpoint_dir=str(tmp_path / "ck"),
     )
     p = tmp_path / "rt.toml"
+    write_config(p, cfg)
+    got = load_config(p, check_files=False)
+    assert got == cfg
+
+
+def test_write_config_non_ascii_key_round_trips(tmp_path):
+    """TOML bare keys are ASCII-only; a non-ASCII exactmatch column must
+    be serialized quoted or the round-trip produces invalid TOML."""
+    from spinebasedrecordlinkage_jl_spark.config import (
+        LinkageConfig,
+        LinkageCriteria,
+        write_config,
+    )
+
+    cfg = LinkageConfig(
+        projectname="rt",
+        output_directory=str(tmp_path / "out"),
+        spine_datafile=None,
+        spine_columns=("EntityId", "prénom"),
+        append_to_spine=False,
+        construct_entityid_from=(),
+        tables={"t": TableConfig(name="t", datafile="", primarykey=("id",))},
+        criteria=(LinkageCriteria(id=1, tablename="t", exactmatch={"prénom": "prénom"}),),
+    )
+    p = tmp_path / "nonascii.toml"
     write_config(p, cfg)
     got = load_config(p, check_files=False)
     assert got == cfg
