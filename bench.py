@@ -95,9 +95,14 @@ def run_link_to_spine_throughput(
         # Catalyst re-runs the collect_list shuffle per union branch —
         # 3x the most expensive stage (verified via explain("formatted")).
         # Production shape: the records table is written once per batch.
+        # Project to the criteria columns BEFORE the checkpoint:
+        # localCheckpoint materializes the full schema, and the raw
+        # first_user_text (already consumed by the extractors) is the
+        # widest column in the row.
         rec = (
             linkage_records(transcripts)
             .filter(F.col("birthdate").isNotNull())
+            .select("EventId", "conv_id", "firstname", "lastname", "birthdate")
             .repartition(2 * spark.sparkContext.defaultParallelism)
             .localCheckpoint(eager=True)
         )
@@ -161,6 +166,9 @@ def run_linkage_throughput(spark, n_entities: int) -> dict:
     rec = (
         linkage_records(transcripts)
         .filter(F.col("birthdate").isNotNull())
+        # drop the consumed first_user_text before the checkpoint
+        # materializes the row (widest column, dead after extraction)
+        .select("EventId", "conv_id", "firstname", "lastname", "birthdate")
         .repartition(2 * spark.sparkContext.defaultParallelism)
         .localCheckpoint(eager=True)
     )

@@ -224,9 +224,15 @@ def worker(cores: int, job: str, base: str) -> None:
         # aggregation output is small enough that AQE coalesces it to a
         # handful of partitions, which would starve every downstream
         # pass of parallelism (north rule: explicit repartitioning).
+        # Project to the criteria columns BEFORE the checkpoint: the
+        # checkpoint materializes the full schema, and the consumed
+        # first_user_text is the widest column in the row — it would
+        # otherwise ride the repartition exchange and the checkpoint of
+        # every timed rep.
         return (
             linkage_records(transcripts)
             .filter(F.col("birthdate").isNotNull())
+            .select("EventId", "conv_id", "firstname", "lastname", "birthdate")
             .repartition(2 * sc.defaultParallelism)
             .localCheckpoint(eager=True)
         )

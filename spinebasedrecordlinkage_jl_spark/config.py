@@ -163,8 +163,26 @@ class LinkageConfig:
     block_salt_buckets: int = 8  # salting factor for hot blocks
     broadcast_spine: bool = True  # force broadcast of the spine side
     checkpoint_dir: str | None = None  # resume state; default <outdir>/checkpoints
+    # entity-formation scale knobs (threaded into spine.form_entities /
+    # connected_components — the two that matter most at 100x):
+    # blocks with more DISTINCT match signatures than this are purged
+    # from fuzzy edge generation (0 = unlimited; see spine.match_pairs)
+    max_block_signatures: int = 10_000
+    cc_convergence: str = "checksum"  # "checksum" | "star"
+    cc_max_iter: int = 30
 
     def __post_init__(self) -> None:
+        if self.cc_convergence not in ("checksum", "star"):
+            raise ValueError(
+                f"cc_convergence must be 'checksum' or 'star', got {self.cc_convergence!r}"
+            )
+        if self.cc_max_iter < 1:
+            raise ValueError(f"cc_max_iter must be >= 1, got {self.cc_max_iter}")
+        if self.max_block_signatures < 0:
+            raise ValueError(
+                f"max_block_signatures must be >= 0 (0 = unlimited), "
+                f"got {self.max_block_signatures}"
+            )
         if self.append_to_spine and not self.construct_entityid_from:
             raise ValueError("append_to_spine requires construct_entityid_from columns")
         if "EntityId" not in self.spine_columns:
@@ -226,6 +244,9 @@ def write_config(path: str | Path, config: LinkageConfig) -> None:
         + "]",
         f"block_salt_buckets = {config.block_salt_buckets}",
         f"broadcast_spine = {'true' if config.broadcast_spine else 'false'}",
+        f"max_block_signatures = {config.max_block_signatures}",
+        f"cc_convergence = {_toml_str(config.cc_convergence)}",
+        f"cc_max_iter = {config.cc_max_iter}",
     ]
     if config.checkpoint_dir:
         out.append(f"checkpoint_dir = {_toml_str(config.checkpoint_dir)}")
@@ -380,4 +401,7 @@ def load_config(path: str | Path, check_files: bool = True) -> LinkageConfig:
         block_salt_buckets=int(raw.get("block_salt_buckets", 8)),
         broadcast_spine=bool(raw.get("broadcast_spine", True)),
         checkpoint_dir=raw.get("checkpoint_dir") or None,
+        max_block_signatures=int(raw.get("max_block_signatures", 10_000)),
+        cc_convergence=str(raw.get("cc_convergence", "checksum")),
+        cc_max_iter=int(raw.get("cc_max_iter", 30)),
     )

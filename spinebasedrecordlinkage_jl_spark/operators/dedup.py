@@ -117,17 +117,35 @@ def ngram_jaccard_pairs(
     shingle_n: int = 8,
     max_chars: int = 100,
     threshold: float = 0.5,
-) -> DataFrame:
+    max_doc_freq: int | None = 10_000,
+    return_purged: bool = False,
+):
     """Exact n-gram Jaccard similarity via an inverted shingle index:
     explode distinct shingles -> self-join on shingle -> |A∩B| per pair
     -> Jaccard with |A∪B| = |A|+|B|-|A∩B|. Output (id_1, id_2, jaccard).
 
     Scale note: the shingle join is the candidate generator; pair cost
-    concentrates in high-document-frequency shingles. For 100 TB corpora
-    run minhash_lsh_pairs first and verify only candidates; this exact
+    concentrates in high-document-frequency shingles — a shingle shared
+    by d documents emits d^2/2 join rows. For 100 TB corpora run
+    minhash_lsh_pairs first and verify only candidates; this exact
     operator is for block-sized inputs (and the LSH verification stage).
+
+    ``max_doc_freq``: shingles appearing in more than this many documents
+    are purged from the index BEFORE sizes and the join (the same
+    explicit, countable degradation as blocking.candidate_pairs'
+    ``max_block_size`` purge — a misused call degrades measurably
+    instead of OOMing on a stop-word shingle). Jaccard is then computed
+    over the surviving shingle universe, consistently on both sides of
+    the ratio. ``None`` disables the guard (exact semantics).
+    ``return_purged=True`` additionally returns the audit frame of
+    purged ``(shingle, doc_freq)`` rows: ``(pairs, purged | None)``.
     """
     sh = _shingle_df(df, text_col, id_col, shingle_n, max_chars)
+    purged = None
+    if max_doc_freq is not None:
+        freqs = sh.groupBy("shingle").agg(F.count("*").alias("doc_freq"))
+        purged = freqs.filter(F.col("doc_freq") > max_doc_freq)
+        sh = sh.join(F.broadcast(purged.select("shingle")), "shingle", "left_anti")
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -137,7 +155,7 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("id").alias("id_1"), F.col("n_sh").alias("n_1"))
     sb = sizes.select(F.col("id").alias("id_2"), F.col("n_sh").alias("n_2"))
-    return (
+    pairs = (
         inter.join(sa, "id_1")
         .join(sb, "id_2")
         .withColumn(
@@ -151,6 +169,9 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_1", "id_2", "jaccard")
     )
+    if return_purged:
+        return pairs, purged
+    return pairs
 
 
 def lsh_jaccard_verified(
@@ -217,22 +238,61 @@ def neardup_clusters(
     Output: (doc_id, cluster_id, is_canonical) — filter
     ``is_canonical`` to materialize the deduplicated corpus, or group by
     ``cluster_id`` for family statistics.
+
+    Id handling: integral ids run CC directly on the id (fast path;
+    ``cluster_id`` is the cluster's minimum id). Any other id type is
+    hashed to a 64-bit node id with a collision audit (distinct ids
+    sharing a hash raise — a silent cast-to-null would have clustered
+    unrelated docs), CC runs on the hashes, and ``cluster_id`` is the
+    cluster's minimum ORIGINAL id (one extra groupBy over the docs).
     """
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
     from .spine import connected_components
 
     pairs = lsh_jaccard_verified(
         df, text_col, id_col, threshold, num_hashes, rows_per_band, shingle_n, max_chars
     )
-    edges = pairs.select(F.col("id_1").alias("src"), F.col("id_2").alias("dst"))
-    comp = connected_components(edges).withColumnRenamed("id", "_id")
-    docs = df.select(F.col(id_col).cast("long").alias("doc_id"))
+    id_type = df.schema[id_col].dataType
+    if isinstance(id_type, (ByteType, ShortType, IntegerType, LongType)):
+        edges = pairs.select(F.col("id_1").alias("src"), F.col("id_2").alias("dst"))
+        comp = connected_components(edges).withColumnRenamed("id", "_id")
+        docs = df.select(F.col(id_col).cast("long").alias("doc_id"))
+        return (
+            docs.join(comp, docs["doc_id"] == F.col("_id"), "left")
+            .select(
+                "doc_id",
+                F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id"),
+            )
+            .withColumn("is_canonical", (F.col("doc_id") == F.col("cluster_id")).cast("int"))
+        )
+
+    docs = df.select(F.col(id_col).alias("doc_id")).distinct().withColumn(
+        "_h", F.xxhash64(F.col("doc_id"))
+    )
+    dup_hashes = (
+        docs.groupBy("_h").agg(F.count("*").alias("_n")).filter(F.col("_n") > 1)
+    )
+    if not dup_hashes.isEmpty():
+        raise RuntimeError(
+            f"neardup_clusters: xxhash64 collision among distinct {id_col} values; "
+            "dedupe or re-key the input ids"
+        )
+    edges = pairs.select(
+        F.xxhash64(F.col("id_1")).alias("src"), F.xxhash64(F.col("id_2")).alias("dst")
+    )
+    comp = connected_components(edges).withColumnRenamed("id", "_h")
+    members = docs.join(comp, "_h", "left").select(
+        "doc_id", F.coalesce(F.col("component"), F.col("_h")).alias("_comp")
+    )
+    canon = members.groupBy("_comp").agg(F.min("doc_id").alias("cluster_id"))
     return (
-        docs.join(comp, docs["doc_id"] == F.col("_id"), "left")
+        members.join(canon, "_comp")
         .select(
             "doc_id",
-            F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id"),
+            "cluster_id",
+            (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("is_canonical"),
         )
-        .withColumn("is_canonical", (F.col("doc_id") == F.col("cluster_id")).cast("int"))
     )
 
 

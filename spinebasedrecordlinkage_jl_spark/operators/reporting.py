@@ -25,21 +25,23 @@ def distinct_values(df: DataFrame, col: str) -> DataFrame:
 
 def compare_spines(spine1: DataFrame, spine2: DataFrame, key: str = "EntityId") -> DataFrame:
     """O18 (compare_spines!, reporting.jl:93-105): entity-set overlap.
-    Output: (status1, status2, n) with statuses existent/nonexistent."""
-    s1 = distinct_values(spine1, key)
-    s2 = distinct_values(spine2, key)
-    both = s1.join(s2, key, "inner").count()
-    only1 = s1.join(s2, key, "left_anti").count()
-    only2 = s2.join(s1, key, "left_anti").count()
-    spark = spine1.sparkSession
-    return spark.createDataFrame(
-        [
-            ("existent", "existent", both),
-            ("existent", "nonexistent", only1),
-            ("nonexistent", "existent", only2),
-        ],
-        "status1 string, status2 string, n long",
-    ).filter(F.col("n") > 0)
+    Output: (status1, status2, n) with statuses existent/nonexistent.
+
+    One full-outer join + one aggregate — a single job scanning each
+    spine once (three separate inner/anti-join counts would rescan both
+    inputs three times)."""
+    s1 = distinct_values(spine1, key).withColumn("_in1", F.lit(True))
+    s2 = distinct_values(spine2, key).withColumn("_in2", F.lit(True))
+    status = lambda c: F.when(c.isNotNull(), F.lit("existent")).otherwise(  # noqa: E731
+        F.lit("nonexistent")
+    )
+    return (
+        s1.join(s2, key, "full_outer")
+        .select(status(F.col("_in1")).alias("status1"), status(F.col("_in2")).alias("status2"))
+        .groupBy("status1", "status2")
+        .agg(F.count("*").alias("n"))
+        .orderBy("status1", "status2")
+    )
 
 
 def _status_col(linked_crit, present):

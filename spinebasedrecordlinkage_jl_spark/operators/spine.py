@@ -395,6 +395,8 @@ def form_entities(
     max_block_signatures: int | None = 10_000,
     order_col: str | None = None,
     entity_id_expr: Column | None = None,
+    cc_convergence: str = "checksum",
+    cc_max_iter: int = 30,
 ) -> tuple[DataFrame, DataFrame]:
     """Create entities from unlinked records -> ``(new_spine_rows, links)``.
 
@@ -511,7 +513,8 @@ def form_entities(
         edges = p if edges is None else edges.union(p)
     edges = edges.distinct()
 
-    comp = connected_components(edges)  # (id, component) over signatures
+    # (id, component) over signatures
+    comp = connected_components(edges, max_iter=cc_max_iter, convergence=cc_convergence)
 
     # Records of a signature with NO surviving edge stay singletons —
     # merging them through the bare signature node would diverge from

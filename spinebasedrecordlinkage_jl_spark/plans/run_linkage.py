@@ -177,7 +177,11 @@ def run_linkage(
                 construct_entityid_from=list(config.construct_entityid_from),
                 spine_columns=list(config.spine_columns),
                 tablename=tablename,
+                # 0 = unlimited in TOML (None internally)
+                max_block_signatures=config.max_block_signatures or None,
                 order_col=tcfg.primarykey[0],
+                cc_convergence=config.cc_convergence,
+                cc_max_iter=config.cc_max_iter,
             )
             spine = spine_cached.unionByName(
                 new_spine, allowMissingColumns=True

@@ -33,6 +33,8 @@ def stream_link_to_spine(
     sink: Callable[[DataFrame, int], None],
     checkpoint_dir: str,
     trigger: dict | None = None,
+    spine_refresh: Callable[[], DataFrame] | None = None,
+    refresh_every_n_epochs: int = 1,
 ) -> StreamingQuery:
     """Start a streaming query linking ``records`` (a streaming frame of
     conversation records) against the frozen ``spine``.
@@ -41,10 +43,30 @@ def stream_link_to_spine(
     (TableName, EventId, EntityId, CriteriaId); write idempotently keyed
     on ``epoch_id`` for exactly-once (e.g. Iceberg overwrite-by-filter
     on a batch-id column, or a transactional append).
+
+    ``spine_refresh``: optional zero-arg callable returning the CURRENT
+    spine (e.g. ``lambda: spark.read.parquet(spine_path)`` — or the
+    Iceberg table, whose snapshot isolation makes the re-read atomic).
+    When set, the spine is re-read every ``refresh_every_n_epochs``
+    micro-batches, so entities formed by the periodic batch
+    entity-formation job (spine.form_entities) become matchable WITHOUT
+    restarting the query. Records arriving between a batch append and
+    the next refresh link against the previous snapshot — the same
+    frozen-spine-per-pass semantics as the batch engine's table stages.
+    With the default ``spine_refresh=None`` the query links against the
+    one frozen ``spine`` frame forever (the round-2 behavior).
     """
+    if refresh_every_n_epochs < 1:
+        raise ValueError(f"refresh_every_n_epochs must be >= 1, got {refresh_every_n_epochs}")
+    state = {"spine": spine, "batches_seen": 0}
 
     def _link_batch(batch: DataFrame, epoch_id: int) -> None:
-        links = link_table(batch, spine, criteria, tablename)
+        # epoch_id is monotone across restarts but not contiguous per
+        # run; count batches actually processed by THIS query instead.
+        if spine_refresh is not None and state["batches_seen"] % refresh_every_n_epochs == 0:
+            state["spine"] = spine_refresh()
+        state["batches_seen"] += 1
+        links = link_table(batch, state["spine"], criteria, tablename)
         sink(links, epoch_id)
 
     writer = records.writeStream.foreachBatch(_link_batch).option(

@@ -130,3 +130,75 @@ def test_cosine_nan_free_on_zero_vector(spark):
     out = S.brute_force_topk(df, df.filter(F.col("vec_id") == 2), k=1, exclude_self=True).collect()
     # zero vector gives NULL/NaN sim (0/0) — must not crash; row ranks last or drops
     assert len(out) <= 1
+
+
+def test_ngram_hot_shingle_guard(spark):
+    """max_doc_freq purges stop-word shingles from the inverted index
+    BEFORE the self-join (the explicit, countable degradation that stops
+    a hot shingle emitting d^2/2 join rows), with a purged audit frame;
+    the default/None path keeps exact semantics."""
+    # every doc shares the hot prefix "COMMONXX"; docs 1+2 additionally
+    # share distinctive content
+    rows = [
+        (1, "COMMONXXalpha-beta-gamma-delta"),
+        (2, "COMMONXXalpha-beta-gamma-DELTA"),
+        (3, "COMMONXXzzzzzzzzzzzzzzzzzzzzzz"),
+        (4, "COMMONXXqqqqqqqqqqqqqqqqqqqqqq"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # cap of 3: the shingle "COMMONXX" (df=4) is purged; pairs are then
+    # computed over the surviving shingle universe
+    pairs, purged = D.ngram_jaccard_pairs(
+        docs, threshold=0.1, max_doc_freq=3, return_purged=True
+    )
+    purged_rows = {r["shingle"]: r["doc_freq"] for r in purged.collect()}
+    assert purged_rows == {"COMMONXX": 4}
+    got = {(r["id_1"], r["id_2"]): r["jaccard"] for r in pairs.collect()}
+    assert (1, 2) in got            # still found via distinctive shingles
+    assert (3, 4) not in got        # only shared the purged hot shingle
+
+    # guard off (None) == generous default cap on this small input
+    exact_none = {
+        (r["id_1"], r["id_2"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.01, max_doc_freq=None).collect()
+    }
+    exact_default = {
+        (r["id_1"], r["id_2"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.01).collect()
+    }
+    assert exact_none == exact_default
+    assert (3, 4) in exact_none     # unpurged: the hot shingle pairs them
+    # and with the guard at the same low threshold, (3, 4) stays out
+    guarded = {
+        (r["id_1"], r["id_2"])
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.01, max_doc_freq=3).collect()
+    }
+    assert (3, 4) not in guarded
+
+
+def test_neardup_clusters_string_ids(spark):
+    """String doc ids take the hashed-node path: clusters form correctly
+    and cluster_id is the minimum ORIGINAL id of each cluster."""
+    rows = [
+        ("doc-b", "the quick brown fox jumps over the lazy dog"),
+        ("doc-a", "the quick brown fox jumps over the lazy dog"),
+        ("doc-c", "the quick brown fox jumped over the lazy dog"),
+        ("doc-z", "completely different content about databases"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+           for r in D.neardup_clusters(docs, threshold=0.2).collect()}
+    # a+b+c cluster; min original id is doc-a
+    assert out["doc-a"] == ("doc-a", 1)
+    assert out["doc-b"] == ("doc-a", 0)
+    assert out["doc-c"] == ("doc-a", 0)
+    # singleton keeps itself
+    assert out["doc-z"] == ("doc-z", 1)
+
+
+def test_neardup_clusters_long_ids_unchanged(docs):
+    """The integral-id fast path is untouched (cluster_id = min id)."""
+    out = {r["doc_id"]: r["cluster_id"] for r in D.neardup_clusters(docs, threshold=0.2).collect()}
+    assert out[1] == 1 and out[2] == 1 and out[3] == 1
+    assert out[4] == 4 and out[5] == 5

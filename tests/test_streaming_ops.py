@@ -85,3 +85,60 @@ def test_stream_link_to_spine(spark, tmp_path):
         ("t", 1, 100, 1),
         ("t", 2, 200, 2),
     }
+
+
+def test_stream_spine_refresh_links_new_entities(spark, tmp_path):
+    """A record unlinked in run 1 links in run 2 after the batch
+    entity-formation job grows the spine parquet — spine_refresh re-reads
+    it per micro-batch, so the streaming query picks up new entities
+    without being rebuilt against a new frozen frame."""
+    spine_dir = str(tmp_path / "spine")
+    spark.createDataFrame(
+        [(100, 100, "john", "smith")],
+        "EntityId long, spine_seq long, firstname string, lastname string",
+    ).write.mode("overwrite").parquet(spine_dir)
+
+    crits = [
+        LinkageCriteria(
+            id=1, tablename="t", exactmatch={"firstname": "firstname", "lastname": "lastname"}
+        ),
+    ]
+    in_dir = str(tmp_path / "records")
+    schema = "EventId long, firstname string, lastname string"
+    spark.createDataFrame(
+        [(1, "john", "smith"), (2, "ada", "lovelace")], schema
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    results: dict[int, set] = {}
+
+    def sink(links, epoch_id):
+        results.setdefault(epoch_id, set()).update(tuple(r) for r in links.collect())
+
+    def start():
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+        q = stream_link_to_spine(
+            stream, None, crits, "t", sink,
+            checkpoint_dir=str(tmp_path / "ck"),
+            trigger={"availableNow": True},
+            spine_refresh=lambda: spark.read.parquet(spine_dir),
+        )
+        q.awaitTermination(120)
+
+    start()
+    linked_ids = {e for s in results.values() for (_, e, *_rest) in s}
+    assert linked_ids == {1}  # ada has no entity yet
+
+    # the periodic batch entity-formation job appends ada's entity...
+    spark.createDataFrame(
+        [(100, 100, "john", "smith"), (200, 200, "ada", "lovelace")],
+        "EntityId long, spine_seq long, firstname string, lastname string",
+    ).write.mode("overwrite").parquet(spine_dir)
+    # ...and new records arrive
+    spark.createDataFrame(
+        [(3, "ada", "lovelace")], schema
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    results.clear()
+    start()  # same checkpoint dir: only the new file is processed
+    all_links = {lk for s in results.values() for lk in s}
+    assert all_links == {("t", 3, 200, 1)}
