@@ -120,6 +120,75 @@ def run_link_to_spine_throughput(
     }
 
 
+#: Pair-generating text-dedup queries whose cost could grow
+#: superlinearly with corpus size (banded joins are quadratic WITHIN
+#: buckets); the sf-scale sweep measures their growth exponent.
+SCALE_QUERIES = [
+    "minhash_lsh_pairs",
+    "lsh_jaccard_verified",
+    "ngram_jaccard_pairs",
+    "simhash_pairs",
+    "dedup_clusters",
+]
+
+
+def _scaled_docs_dir(spark, sf_dir: str, k: int) -> str:
+    """Materialize a k-times-larger documents table: k replicas with
+    shifted doc_ids and per-replica Caesar-rotated text. Rotation makes
+    replicas DISJOINT in shingle space while preserving each replica's
+    internal duplicate structure — so the k-times corpus behaves like k
+    independent corpora of the original's dup rate, and the honest
+    expectation for a scale-linear operator is cost ~ k (pairs grow
+    exactly k-fold, not k^2-fold as identical replicas would)."""
+    from pyspark.sql import functions as F
+
+    out = f"/dev/shm/spinelink-sfscale/x{k}-{Path(sf_dir).name}"
+    if not Path(f"{out}/documents.parquet/_SUCCESS").exists():
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        alpha = "abcdefghijklmnopqrstuvwxyz"
+        rep = None
+        for i in range(k):
+            rot = alpha[i:] + alpha[:i]
+            r = docs.select(
+                (F.col("doc_id") + i * 1_000_000).alias("doc_id"),
+                F.translate(F.col("text"), alpha, rot).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+            rep = r if rep is None else rep.unionByName(r)
+        rep.repartition(spark.sparkContext.defaultParallelism).write.mode(
+            "overwrite"
+        ).parquet(f"{out}/documents.parquet")
+    return out
+
+
+def run_sf_scale_sweep(spark, sf_dir: str, k: int) -> dict:
+    """Time each SCALE_QUERIES entry on the 1x and kx corpora and report
+    the growth exponent log_k(t_kx / t_1x): ~1 = scale-linear, ~2 =
+    quadratic (a banded join gone hot). Catches nonlinearities the
+    single-sf per-query suite cannot see."""
+    import math
+
+    sdir = _scaled_docs_dir(spark, sf_dir, k)
+    out = {}
+    for name in SCALE_QUERIES:
+        t0 = time.time()
+        n1 = QUERIES[name](spark, sf_dir).count()
+        t1 = time.time() - t0
+        t0 = time.time()
+        nk = QUERIES[name](spark, sdir).count()
+        tk = time.time() - t0
+        out[name] = {
+            "sec_1x": round(t1, 3),
+            f"sec_{k}x": round(tk, 3),
+            "rows_1x": n1,
+            f"rows_{k}x": nk,
+            "growth_exponent": round(math.log(max(tk, 1e-3) / max(t1, 1e-3)) / math.log(k), 2),
+        }
+    return {"factor": k, "queries": out}
+
+
 def _bench_criteria():
     from spinebasedrecordlinkage_jl_spark.config import ApproxMatch, LinkageCriteria
 
@@ -245,6 +314,11 @@ def main() -> None:
     total += link["linkage_sec"]
     per_query["linkage_synthetic"] = link["linkage_sec"]
 
+    # sf-scale sweep (separate from the headline total so BENCH_r* stays
+    # comparable across rounds); SPINELINK_BENCH_SCALE=1 disables.
+    scale_k = int(os.environ.get("SPINELINK_BENCH_SCALE", "4"))
+    sf_scale = run_sf_scale_sweep(spark, sf_dir, scale_k) if scale_k > 1 else None
+
     out = {
         "metric": "headline_suite_seconds",
         "value": round(total, 3),
@@ -253,6 +327,7 @@ def main() -> None:
         "sf": sf_dir,
         "cpus": int(cpus),
         "linkage_throughput": link,
+        "sf_scale": sf_scale,
     }
     print(json.dumps(out))
     spark.stop()

@@ -25,6 +25,8 @@ localCheckpoint so the plan does not grow exponentially.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
@@ -44,13 +46,17 @@ from ..functions.distances import attach_distance
 # components (struct keys miss the primitive-key fast paths in every
 # groupBy/join of every round). So instead:
 #
-# - every synthetic node carries TWO independent 64-bit hashes (h1, h2);
+# - the ONLY hashed node ids in the graph are the global-signature
+#   (gsig) ids minted by form_entities; the edge generators themselves
+#   (exact_key_edges / match_pairs) are star-contracted onto MIN-EventId
+#   representatives computed from the raw columns, so they introduce no
+#   hashed ids at all;
+# - every gsig node carries TWO independent 64-bit hashes (h1, h2);
 #   h1 is the node id;
-# - before edge building, form_entities enumerates the node POPULATION
-#   (a linear projection of the contracted signature relation — no
-#   pairwise work), groups by h1, and collects the h1 values shared by
-#   distinct (h1, h2) pairs. Expected size at 10^9 signatures: ~0.03
-#   entries (n^2/2^65) — virtually always empty;
+# - before edge building, form_entities groups the signature relation by
+#   h1 and collects the h1 values shared by distinct (h1, h2) pairs
+#   (one linear aggregation — no pairwise work). Expected size at 10^9
+#   signatures: ~0.03 entries (n^2/2^65) — virtually always empty;
 # - colliding nodes (only) are deterministically remapped to
 #   xxhash64(h1, h2), restoring uniqueness; everyone else keeps h1, so
 #   the hot path pays nothing.
@@ -73,8 +79,9 @@ def _node_hashes(tag: str, cols: list[Column]) -> tuple[Column, Column]:
 
 def _assert_ids_unique(pop: DataFrame, collide: frozenset[int]) -> None:
     """Verify the FINAL node ids (h1, or xxhash64(h1, h2) for audited
-    collisions) are unique over the distinct (h1, h2) node population;
-    raise if a remapped id aliases any other node's id."""
+    collisions) are unique over the distinct (h1, h2) node population
+    (callers pass an already-distinct relation); raise if a remapped id
+    aliases any other node's id."""
     final_id = F.when(
         F.col("h1").isin(*collide), F.xxhash64(F.col("h1"), F.col("h2"))
     ).otherwise(F.col("h1"))
@@ -161,10 +168,17 @@ def connected_components(
       roles) stops one full contraction round earlier than checksum
       equality at the cost of a shuffle per check.
     """
+    import os
+    import time
+
+    debug = os.environ.get("SPINELINK_CC_DEBUG") == "1"
+    t0 = time.time()
     e = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
     if not isinstance(e.schema["src"].dataType, StructType):
         e = e.select(F.col("src").cast("long"), F.col("dst").cast("long"))
     e = e.localCheckpoint(eager=True)
+    if debug:
+        print(f"[cc] bootstrap (edge materialization): {time.time() - t0:.2f}s", flush=True)
 
     def _checksum(df: DataFrame) -> tuple[int, int]:
         row = df.agg(
@@ -192,20 +206,23 @@ def connected_components(
         return not bad.isEmpty()
 
     prev = None
-    for _ in range(max_iter):
+    for _round in range(max_iter):
+        t0 = time.time()
         e = _large_star(e)
         e = _small_star(e)
         # lazy checkpoint: the convergence action below materializes it,
         # so each round costs exactly one job (plus its shuffles)
         e = e.localCheckpoint(eager=False)
         if convergence == "star":
-            if not _has_chains(e):
-                break
+            done = not _has_chains(e)
         else:
             cur = _checksum(e)
-            if cur == prev:
-                break
+            done = cur == prev
             prev = cur
+        if debug:
+            print(f"[cc] round {_round}: {time.time() - t0:.2f}s done={done}", flush=True)
+        if done:
+            break
     else:
         raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
@@ -221,42 +238,50 @@ def connected_components(
 # ---------------------------------------------------------------------------
 
 
-def exact_key_edges(
-    records: DataFrame, crit: LinkageCriteria, collide: frozenset[int] = frozenset()
-) -> DataFrame:
+def exact_key_edges(records: DataFrame, crit: LinkageCriteria) -> DataFrame:
     """Linear-cost edges for an EXACT-ONLY criterion: every record with a
-    complete key connects to a synthetic key node ``xxhash64('keynode',
-    crit.id-tag, key values...)`` instead of to every other record in its
-    block. Connected components over the bipartite record<->key graph are
+    complete key connects to the MINIMUM EventId of its key block (one
+    groupBy + join back on the raw key columns). Connected components are
     identical to the pairwise version, but edge count is O(n) instead of
     O(sum block^2) — hot blocks (the skew case) cost the same as cold
     ones. This is what makes entity formation survive million-record
     blocks at corpus scale; no purging needed on this path.
 
-    ``collide``: the verified h1-collision set from form_entities (see
-    the node-id note at the top); empty for standalone use.
+    Star-contracted on purpose: an earlier design connected records to a
+    synthetic ``xxhash64(key)`` node, which (a) doubled every path length
+    through the bipartite record<->keynode graph — measurably more
+    large-star/small-star rounds — and (b) required auditing the key-node
+    hash population for 64-bit collisions. Grouping on the RAW key
+    columns and pointing at the min member removes both: the graph stays
+    in record-id space (depth-1 stars per key) and there is no hashed
+    node id to collide.
 
     (Sequential-reference parity: records sharing a complete exact key
     always end in one entity — the first appends, the rest self-link as
     single candidates — so key-grouping is the exact set semantics.)
     """
+    keycols = list(crit.exactmatch.keys())
     out = records
-    for dc in crit.exactmatch.keys():
+    for dc in keycols:
         out = out.filter(F.col(dc).isNotNull())
-    key_node = _node64(
-        f"keynode:{crit.id}", [F.col(dc) for dc in crit.exactmatch.keys()], collide
-    )
-    return out.select(F.col("EventId").alias("src"), key_node.alias("dst"))
+    mins = out.groupBy(*keycols).agg(F.min("EventId").alias("dst"))
+    # the representative's own (m, m) SELF-LOOP is kept deliberately: it
+    # marks the node as participating under this criterion even when its
+    # block has a single member — form_entities reads self-loops as
+    # "records sharing this node's signature merge" (connected_components
+    # itself drops them; standalone callers get pure star edges plus the
+    # markers)
+    return out.join(mins, keycols).select(F.col("EventId").alias("src"), F.col("dst"))
 
 
 def match_pairs(
     records: DataFrame,
     crit: LinkageCriteria,
     max_block_signatures: int | None = 10_000,
-    collide: frozenset[int] = frozenset(),
 ) -> DataFrame:
-    """Match edges among records under one criteria-set, in VALUE-NODE
-    form: ``(src, dst)`` where nodes are EventIds and signature nodes.
+    """Match edges among records under one criteria-set, star-contracted:
+    ``(src, dst)`` where every node is an EventId (each signature is
+    represented by the MINIMUM EventId of its records).
 
     Semantics being reproduced: record r1 (event role, datacolumn side)
     matches r2 (appended-spine role, spinecolumn side — matching
@@ -270,21 +295,33 @@ def match_pairs(
     100-conversation entity is ~10^4 pairs, a duplicate-heavy 10^12-turn
     corpus is ~10^9+ and OOMs), score DISTINCT SIGNATURE PAIRS:
 
-    - every record points at its signature node (linear map-only edges);
+    - the signature relation is a groupBy over the raw signature columns
+      carrying each signature's MIN EventId ``_m`` (its representative
+      node — injective, because records partition by signature);
     - signature pairs within a block are scored once (quadratic only in
-      UNIQUE values per block);
+      UNIQUE values per block); matched pairs become ``(_m_a, _m_b)``
+      edges;
     - a signature that matches ITSELF (the diagonal of the signature
-      join) connects all its records through its node — the analogue of
-      exact-duplicate record pairs;
-    - records of signatures with no surviving edge get no node edge, so
-      two records sharing a non-self-matching signature (e.g. null approx
-      columns: missing has distance 1.0, distances.jl:15-16) are NOT
-      spuriously merged.
+      join) connects all its records through its representative — the
+      analogue of exact-duplicate record pairs;
+    - records of a PARTICIPATING signature (any surviving self- or
+      cross-match edge) each point at their signature's ``_m`` (a
+      null-safe equi-join back on the raw columns); records of
+      non-participating signatures get no edge, so two records sharing a
+      non-self-matching signature (e.g. null approx columns: missing has
+      distance 1.0, distances.jl:15-16) are NOT spuriously merged.
 
     Connected components over this graph are identical to the record-pair
     formulation's components: r1~r2 pairwise iff sig(r1) [self- or
-    cross-] matches sig(r2), and every signature node lies on a path only
+    cross-] matches sig(r2), and every representative lies on a path only
     between records whose signatures match.
+
+    Star-contracted on purpose (same reasoning as exact_key_edges): an
+    earlier design used synthetic ``xxhash64(signature)`` nodes, which
+    doubled path lengths through the bipartite graph (more CC rounds)
+    and required a hash-collision audit over the signature-node
+    population. Min-member representatives keep the graph in record-id
+    space with nothing new to collide.
 
     Blocking = the criteria's own exactmatch key. Blocks with more than
     ``max_block_signatures`` DISTINCT signatures are purged from the
@@ -304,18 +341,9 @@ def match_pairs(
     approx_sc = [am.spinecolumn for am in crit.approxmatch]
     sig_cols = list(dict.fromkeys(exact_dc + exact_sc + approx_dc + approx_sc))
 
-    # signature node id: hash over all columns the criterion reads, with
-    # an explicit null sentinel (xxhash64 ignores null operands, which
-    # would conflate (null, x) with (x, null))
-    null_sentinel = F.lit("\x00")
-    vnode = _node64(
-        f"signode:{crit.id}",
-        [F.coalesce(F.col(c), null_sentinel) for c in sig_cols],
-        collide,
-    )
-
-    rec_v = records.select(F.col("EventId").alias("src"), vnode.alias("dst"))
-    sigs = records.select(*sig_cols).distinct().withColumn("_vn", vnode)
+    # one row per distinct signature + its min-EventId representative
+    # (GROUP BY groups nulls like the old null-sentinel hashing did)
+    sigs = records.groupBy(*sig_cols).agg(F.min("EventId").alias("_m"))
 
     a = sigs.alias("a")
     b = sigs.alias("b")
@@ -345,7 +373,7 @@ def match_pairs(
         total = sum((F.col(f"_d{i}") for i in range(len(crit.approxmatch))), F.lit(0.0))
         cand = cand.filter(total < 1.0)
 
-    matched = cand.select(F.col("a._vn").alias("x"), F.col("b._vn").alias("y"))
+    matched = cand.select(F.col("a._m").alias("x"), F.col("b._m").alias("y"))
     vv = (
         matched.filter(F.col("x") != F.col("y"))
         .select(
@@ -354,13 +382,26 @@ def match_pairs(
         )
         .distinct()
     )
-    # signature nodes with any surviving edge (self-match or cross-match)
+    # signatures with any surviving edge (self-match or cross-match)
     participating = (
-        matched.select(F.col("x").alias("dst"))
-        .union(matched.select(F.col("y").alias("dst")))
+        matched.select(F.col("x").alias("_m"))
+        .union(matched.select(F.col("y").alias("_m")))
         .distinct()
     )
-    rec_edges = rec_v.join(participating, "dst", "left_semi")
+    psigs = sigs.join(participating, "_m", "left_semi").alias("s")
+    r = records.alias("r")
+    jcond = None
+    for c in sig_cols:
+        # null-safe: a signature tuple may contain nulls
+        eq = F.col(f"r.{c}").eqNullSafe(F.col(f"s.{c}"))
+        jcond = eq if jcond is None else (jcond & eq)
+    # the representative's own (m, m) SELF-LOOP is kept deliberately: it
+    # marks the signature as participating (self-matching) even when it
+    # has a single record — form_entities reads self-loops as "records
+    # sharing this signature merge"; connected_components drops them
+    rec_edges = r.join(psigs, jcond, "inner").select(
+        F.col("r.EventId").alias("src"), F.col("s._m").alias("dst")
+    )
     return rec_edges.select("src", "dst").union(vv.select("src", "dst"))
 
 
@@ -442,79 +483,106 @@ def form_entities(
             if col not in global_cols:
                 global_cols.append(col)
     gs_cols = [F.coalesce(F.col(c), F.lit("\x00")) for c in global_cols]
-    sigs_rel = eligible.select(*global_cols).distinct().localCheckpoint(eager=False)
+    # one blocking job: the distinct shuffle; everything downstream
+    # (audit AND edge generation) reads the cached result
+    sigs_rel = eligible.select(*global_cols).distinct().localCheckpoint(eager=True)
 
     # Node-id collision audit over the LINEAR node population (see the
     # node-id note at the top): one aggregation job on the contracted
     # relation; the collected set is expected empty (~n^2/2^65 entries).
+    # Since the edge generators are star-contracted (exact_key_edges /
+    # match_pairs point records at MIN-EventId representatives computed
+    # from the raw columns — no synthetic hashed nodes), the only hashed
+    # ids in the graph are the gsig ids themselves, so the audit is one
+    # groupBy over the signature relation. A collision is an h1 carried
+    # by >= 2 distinct (h1, h2) nodes — countDistinct(h2) per h1 detects
+    # that without a separate distinct shuffle.
     gh1, gh2 = _node_hashes("gsig", gs_cols)
     pop = sigs_rel.select(gh1.alias("h1"), gh2.alias("h2"))
-    for c in criteria:
-        if not c.approxmatch:
-            part = sigs_rel
-            for dc in c.exactmatch.keys():
-                part = part.filter(F.col(dc).isNotNull())
-            kh1, kh2 = _node_hashes(
-                f"keynode:{c.id}", [F.col(dc) for dc in c.exactmatch.keys()]
-            )
-            part = part.select(kh1.alias("h1"), kh2.alias("h2"))
-        else:
-            crit_cols = list(
-                dict.fromkeys(
-                    list(c.exactmatch.keys())
-                    + list(c.exactmatch.values())
-                    + [am.datacolumn for am in c.approxmatch]
-                    + [am.spinecolumn for am in c.approxmatch]
-                )
-            )
-            sh1, sh2 = _node_hashes(
-                f"signode:{c.id}",
-                [F.coalesce(F.col(cc), F.lit("\x00")) for cc in crit_cols],
-            )
-            part = sigs_rel.select(sh1.alias("h1"), sh2.alias("h2"))
-        part = part.select(F.col("h1").alias("h1"), F.col("h2").alias("h2"))
-        pop = pop.union(part)
-    pop = pop.distinct()
-    collide = frozenset(
-        r["h1"]
-        for r in pop.groupBy("h1")
-        .agg(F.count("*").alias("_n"))
-        .filter(F.col("_n") > 1)
-        .select("h1")
-        .collect()
-    )
-    if collide:
-        # Re-verify the REMAPPED ids against the full node population:
-        # xxhash64(h1, h2) could itself (at ~2^-64 per remap) alias an
-        # existing h1. Only runs on the ~never branch (collide is
-        # expected empty), so the extra job costs nothing in steady state.
-        _assert_ids_unique(pop, collide)
 
-    gs = _node64("gsig", gs_cols, collide)
-    eligible_g = eligible.withColumn("_gs", gs)
-    gs_records = sigs_rel.withColumn("EventId", _node64("gsig", gs_cols, collide))
+    # Run the audit CONCURRENTLY with the optimistic (empty-collide)
+    # edge build + connected components: the collision set is empty for
+    # all practical inputs (~n^2/2^65 expected entries at the 10^9-node
+    # design point), so the optimistic plan is virtually always the
+    # final plan and the audit's aggregation job comes off the serial
+    # critical path — on a cluster the two jobs share executors; here
+    # they share local cores. The audit is joined BEFORE any result is
+    # trusted; on the ~never branch the contraction is rebuilt with the
+    # remapped ids (discarding the optimistic work).
+    audit: dict = {}
 
-    edges = None
-    for c in criteria:
-        # exact-only criteria: linear key-node edges (skew-immune);
-        # fuzzy criteria: value-node scored edges within the exact block
-        p = (
-            exact_key_edges(gs_records, c, collide=collide)
-            if not c.approxmatch
-            else match_pairs(
-                gs_records, c, max_block_signatures=max_block_signatures, collide=collide
+    def _run_audit() -> None:
+        try:
+            audit["collide"] = frozenset(
+                r["h1"]
+                for r in pop.groupBy("h1")
+                .agg(F.count_distinct("h2").alias("_n"))
+                .filter(F.col("_n") > 1)
+                .select("h1")
+                .collect()
             )
+        except BaseException as exc:  # surfaced on join()
+            audit["error"] = exc
+
+    audit_thread = threading.Thread(target=_run_audit, daemon=True)
+    audit_thread.start()
+
+    def _contract(collide: frozenset[int]) -> tuple[DataFrame, DataFrame]:
+        gs = _node64("gsig", gs_cols, collide)
+        eligible_g = eligible.withColumn("_gs", gs)
+        gs_records = sigs_rel.withColumn("EventId", _node64("gsig", gs_cols, collide))
+
+        edges = None
+        for c in criteria:
+            # exact-only criteria: linear min-member key stars (skew-
+            # immune); fuzzy criteria: signature-pair scored edges within
+            # the exact block, star-contracted to min representatives
+            p = (
+                exact_key_edges(gs_records, c)
+                if not c.approxmatch
+                else match_pairs(gs_records, c, max_block_signatures=max_block_signatures)
+            )
+            # fresh output attributes per union branch: the branches share
+            # lineage (all derive from `gs_records`), which trips Catalyst's
+            # Union constraint rewriting (NoSuchElementException on a reused
+            # attribute id) on Spark 4.1
+            p = p.select(F.col("src").alias("src"), F.col("dst").alias("dst"))
+            edges = p if edges is None else edges.union(p)
+        # no distinct here: cross-criteria duplicate edges do not change
+        # any per-node minimum and the first CC round's aggregations
+        # absorb them — the distinct would add a full shuffle of the edge
+        # relation to the bootstrap for nothing
+        edges = edges.localCheckpoint(eager=False)
+        # (id, component) over signatures
+        comp = connected_components(edges, max_iter=cc_max_iter, convergence=cc_convergence)
+        # self-loops mark PARTICIPATING signatures (self-matching under
+        # some criterion) whose node has no real edge — their records
+        # must merge with each other (the reference's append-then-self-
+        # link), but CC never sees them (it drops self-loops). Add them
+        # as their own single-node components; nodes already in a real
+        # component are excluded so the map stays one row per node.
+        selfpart = (
+            edges.filter(F.col("src") == F.col("dst"))
+            .select(F.col("src").alias("id"))
+            .distinct()
+            .join(comp.select("id"), "id", "left_anti")
+            .select("id", F.col("id").alias("component"))
         )
-        # fresh output attributes per union branch: the branches share
-        # lineage (all derive from `gs_records`), which trips Catalyst's
-        # Union constraint rewriting (NoSuchElementException on a reused
-        # attribute id) on Spark 4.1
-        p = p.select(F.col("src").alias("src"), F.col("dst").alias("dst"))
-        edges = p if edges is None else edges.union(p)
-    edges = edges.distinct()
+        comp = comp.unionByName(selfpart)
+        return eligible_g, comp
 
-    # (id, component) over signatures
-    comp = connected_components(edges, max_iter=cc_max_iter, convergence=cc_convergence)
+    eligible_g, comp = _contract(frozenset())
+    audit_thread.join()
+    if "error" in audit:
+        raise audit["error"]
+    collide = audit["collide"]
+    if collide:
+        # Re-verify the REMAPPED ids against the full (distinct) node
+        # population: xxhash64(h1, h2) could itself (at ~2^-64 per
+        # remap) alias an existing h1. Then rebuild the contraction with
+        # the remap — only on the ~never branch.
+        _assert_ids_unique(pop.distinct(), collide)
+        eligible_g, comp = _contract(collide)
 
     # Records of a signature with NO surviving edge stay singletons —
     # merging them through the bare signature node would diverge from

@@ -120,10 +120,13 @@ def test_match_pairs_scores_signatures_not_records(spark):
         approxmatch=(ApproxMatch("lastname", "lastname", "levenshtein", 0.3),),
     )
     edges = match_pairs(records, crit)
-    # 100 identical records -> 100 record->signature edges + 0 vv edges
+    # 100 identical records -> 100 record->representative edges (the
+    # representative's own (0, 0) SELF-LOOP is the participation marker
+    # form_entities reads) + 0 vv edges
     rows = edges.collect()
     assert len(rows) == 100
-    assert len({r["dst"] for r in rows}) == 1
+    assert {r["dst"] for r in rows} == {0}  # min EventId representative
+    assert sum(1 for r in rows if r["src"] == r["dst"]) == 1  # the marker
     # each scored join input carries an Aggregate (the signature distinct)
     plan = _plan(edges)
     assert "HashAggregate" in plan or "ObjectHashAggregate" in plan, plan

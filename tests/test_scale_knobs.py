@@ -61,11 +61,9 @@ def _spy_spine(monkeypatch):
         seen["convergence"] = convergence
         return real_cc(edges, max_iter=max_iter, convergence=convergence)
 
-    def spy_mp(records, crit, max_block_signatures=10_000, collide=frozenset()):
+    def spy_mp(records, crit, max_block_signatures=10_000):
         seen["max_block_signatures"] = max_block_signatures
-        return real_mp(
-            records, crit, max_block_signatures=max_block_signatures, collide=collide
-        )
+        return real_mp(records, crit, max_block_signatures=max_block_signatures)
 
     monkeypatch.setattr(spine_mod, "connected_components", spy_cc)
     monkeypatch.setattr(spine_mod, "match_pairs", spy_mp)
