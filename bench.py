@@ -173,6 +173,10 @@ def run_sf_scale_sweep(spark, sf_dir: str, k: int) -> dict:
     sdir = _scaled_docs_dir(spark, sf_dir, k)
     out = {}
     for name in SCALE_QUERIES:
+        # untimed warmup on the 1x corpus: codegen compilation and the
+        # Arrow worker pool otherwise land on the first timed run and
+        # skew the exponent negative (the kx run would look cheaper)
+        QUERIES[name](spark, sf_dir).count()
         t0 = time.time()
         n1 = QUERIES[name](spark, sf_dir).count()
         t1 = time.time() - t0
