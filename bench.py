@@ -142,16 +142,30 @@ def _scaled_docs_dir(spark, sf_dir: str, k: int) -> str:
     exactly k-fold, not k^2-fold as identical replicas would)."""
     from pyspark.sql import functions as F
 
-    out = f"/dev/shm/spinelink-sfscale/x{k}-{Path(sf_dir).name}"
+    # v2: corpus-derived id shift + three-class rotation (the path is
+    # versioned so a stale cache from the v1 generator is never reused)
+    out = f"/dev/shm/spinelink-sfscale/v2-x{k}-{Path(sf_dir).name}"
     if not Path(f"{out}/documents.parquet/_SUCCESS").exists():
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        alpha = "abcdefghijklmnopqrstuvwxyz"
+        # id shift derived from the corpus (not a fixed 1M, which would
+        # collide for >=1M-doc corpora); rotate lower, UPPER and digits
+        # as three classes so shingles dominated by any of them still
+        # land in a replica-disjoint shingle space.
+        shift = docs.agg(F.max("doc_id")).first()[0] + 1
+        lower = "abcdefghijklmnopqrstuvwxyz"
+        upper = lower.upper()
+        digit = "0123456789"
         rep = None
         for i in range(k):
-            rot = alpha[i:] + alpha[:i]
+            src = lower + upper + digit
+            dst = (
+                lower[i % 26:] + lower[: i % 26]
+                + upper[i % 26:] + upper[: i % 26]
+                + digit[i % 10:] + digit[: i % 10]
+            )
             r = docs.select(
-                (F.col("doc_id") + i * 1_000_000).alias("doc_id"),
-                F.translate(F.col("text"), alpha, rot).alias("text"),
+                (F.col("doc_id") + i * shift).alias("doc_id"),
+                F.translate(F.col("text"), src, dst).alias("text"),
                 "lang",
                 "source",
                 "n_chars",

@@ -88,17 +88,48 @@ def minhash_lsh_pairs(
     rows_per_band: int = 2,
     shingle_n: int = 8,
     max_chars: int = 100,
-) -> DataFrame:
+    max_band_population: int | None = 100_000,
+    return_purged: bool = False,
+):
     """Candidate near-duplicate pairs: documents sharing >=1 LSH band.
     Output: (id_1 < id_2, n_shared_bands). Downstream may verify with
-    ngram_jaccard_pairs on the candidate set."""
+    ngram_jaccard_pairs on the candidate set.
+
+    ``max_band_population``: a band bucket shared by d documents emits
+    d^2/2 join rows, and the corpora this operator exists for —
+    duplicate-heavy web crawls — are exactly the ones that produce huge
+    buckets (a boilerplate page duplicated a million times is ONE
+    band_hash carried by 10^6 docs = 5*10^11 pairs). Buckets above the
+    cap are purged BEFORE the self-join — the same explicit, countable
+    degradation contract as ``ngram_jaccard_pairs``'s ``max_doc_freq``
+    and ``blocking.candidate_pairs``'s ``max_block_size``. Members of a
+    purged bucket can still pair through their other, cooler bands (and
+    true exact duplicates belong in ``exact_dedup``'s hash-groupBy,
+    which is linear, BEFORE any LSH pass). The default cap never fires
+    at test scale; at 100 TB set it to the largest pair blow-up a
+    bucket may charge (10^3-10^4). ``None`` disables the guard.
+    ``return_purged=True`` returns ``(pairs, purged | None)`` where
+    ``purged`` is the audit frame ``(band_idx, band_hash,
+    band_population)`` of dropped buckets.
+    """
     bands = minhash_bands(
         minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, max_chars),
         rows_per_band,
     )
+    purged = None
+    if max_band_population is not None:
+        sizes = bands.groupBy("band_idx", "band_hash").agg(
+            F.count("*").alias("band_population")
+        )
+        purged = sizes.filter(F.col("band_population") > max_band_population)
+        bands = bands.join(
+            F.broadcast(purged.select("band_idx", "band_hash")),
+            ["band_idx", "band_hash"],
+            "left_anti",
+        )
     a = bands.alias("a")
     b = bands.alias("b")
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -108,6 +139,9 @@ def minhash_lsh_pairs(
         .groupBy(F.col("a.id").alias("id_1"), F.col("b.id").alias("id_2"))
         .agg(F.count("*").alias("n_shared_bands"))
     )
+    if return_purged:
+        return pairs, purged
+    return pairs
 
 
 def ngram_jaccard_pairs(
@@ -117,7 +151,7 @@ def ngram_jaccard_pairs(
     shingle_n: int = 8,
     max_chars: int = 100,
     threshold: float = 0.5,
-    max_doc_freq: int | None = 10_000,
+    max_doc_freq: int | None = None,
     return_purged: bool = False,
 ):
     """Exact n-gram Jaccard similarity via an inverted shingle index:
@@ -130,13 +164,18 @@ def ngram_jaccard_pairs(
     minhash_lsh_pairs first and verify only candidates; this exact
     operator is for block-sized inputs (and the LSH verification stage).
 
-    ``max_doc_freq``: shingles appearing in more than this many documents
-    are purged from the index BEFORE sizes and the join (the same
-    explicit, countable degradation as blocking.candidate_pairs'
-    ``max_block_size`` purge — a misused call degrades measurably
-    instead of OOMing on a stop-word shingle). Jaccard is then computed
-    over the surviving shingle universe, consistently on both sides of
-    the ratio. ``None`` disables the guard (exact semantics).
+    ``max_doc_freq``: when set, shingles appearing in more than this
+    many documents are purged from the index BEFORE sizes and the join
+    (the same explicit, countable degradation as
+    blocking.candidate_pairs' ``max_block_size`` purge — a misused call
+    degrades measurably instead of OOMing on a stop-word shingle).
+    Jaccard is then computed over the surviving shingle universe,
+    consistently on both sides of the ratio. The default is ``None``
+    (exact semantics — this operator's documented contract); the guard
+    is OPT-IN because silently lossy defaults would diverge from any
+    exact twin (an oracle, a spot-check recomputation) on corpora with
+    hot shingles. At 100 TB, pass a cap — or use lsh_jaccard_verified,
+    whose candidate generator carries its own guard.
     ``return_purged=True`` additionally returns the audit frame of
     purged ``(shingle, doc_freq)`` rows: ``(pairs, purged | None)``.
     """
@@ -183,9 +222,12 @@ def lsh_jaccard_verified(
     rows_per_band: int = 2,
     shingle_n: int = 8,
     max_chars: int = 100,
+    max_band_population: int | None = 100_000,
 ) -> DataFrame:
     """The scalable near-dup pipeline: MinHash-LSH candidates -> exact
     n-gram Jaccard verification on candidates only.
+    ``max_band_population`` is forwarded to the candidate generator
+    (minhash_lsh_pairs' hot-bucket purge guard).
 
     This is the 100 TB shape: the inverted-index self-join of
     ngram_jaccard_pairs costs sum(df^2) over shingle document
@@ -195,7 +237,8 @@ def lsh_jaccard_verified(
     re-joining the inverted index. Output: (id_1, id_2, jaccard).
     """
     cands = minhash_lsh_pairs(
-        df, text_col, id_col, num_hashes, rows_per_band, shingle_n, max_chars
+        df, text_col, id_col, num_hashes, rows_per_band, shingle_n, max_chars,
+        max_band_population=max_band_population,
     ).select("id_1", "id_2")
     sets = (
         _shingle_df(df, text_col, id_col, shingle_n, max_chars)
@@ -224,6 +267,7 @@ def neardup_clusters(
     rows_per_band: int = 2,
     shingle_n: int = 8,
     max_chars: int = 100,
+    max_band_population: int | None = 100_000,
 ) -> DataFrame:
     """Near-duplicate CLUSTERS: transitive closure over the LSH-verified
     pair graph, one canonical document per cluster — the corpus-dedup
@@ -251,7 +295,8 @@ def neardup_clusters(
     from .spine import connected_components
 
     pairs = lsh_jaccard_verified(
-        df, text_col, id_col, threshold, num_hashes, rows_per_band, shingle_n, max_chars
+        df, text_col, id_col, threshold, num_hashes, rows_per_band, shingle_n, max_chars,
+        max_band_population=max_band_population,
     )
     id_type = df.schema[id_col].dataType
     if isinstance(id_type, (ByteType, ShortType, IntegerType, LongType)):
@@ -350,10 +395,23 @@ def simhash_dedup(
     bits: int = 64,
     band_bits: int = 16,
     hash_family: str = "xxhash64",
-) -> DataFrame:
+    max_band_population: int | None = 100_000,
+    return_purged: bool = False,
+):
     """Near-dup candidates: docs whose simhash matches on >=1 of the
     bits/band_bits bands (Hamming-distance LSH). Output (id_1, id_2,
-    hamming)."""
+    hamming).
+
+    ``max_band_population``: same hot-bucket purge contract as
+    ``minhash_lsh_pairs`` — a ``(band_idx, band_val)`` bucket shared by
+    d documents emits d^2/2 join rows, and duplicate-heavy corpora
+    concentrate mass in few fingerprints (the sf-scale sweep already
+    shows pair OUTPUT growing ~2x faster than the corpus). Buckets
+    above the cap are purged before the self-join; ``return_purged``
+    yields the ``(band_idx, band_val, band_population)`` audit frame as
+    ``(pairs, purged | None)``. Default never fires at test scale;
+    ``None`` disables.
+    """
     sh = df.select(
         F.col(id_col).alias("id"),
         simhash(F.col(text_col), bits=bits, hash_family=hash_family).alias("sh"),
@@ -376,6 +434,17 @@ def simhash_dedup(
             )
         ).alias("band"),
     ).select("id", "sh", "band.band_idx", "band.band_val")
+    purged = None
+    if max_band_population is not None:
+        sizes = bands.groupBy("band_idx", "band_val").agg(
+            F.count("*").alias("band_population")
+        )
+        purged = sizes.filter(F.col("band_population") > max_band_population)
+        bands = bands.join(
+            F.broadcast(purged.select("band_idx", "band_val")),
+            ["band_idx", "band_val"],
+            "left_anti",
+        )
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (
         a.join(
@@ -391,4 +460,7 @@ def simhash_dedup(
         )
         .distinct()
     )
-    return pairs.select("id_1", "id_2", F.bit_count("x").alias("hamming"))
+    pairs = pairs.select("id_1", "id_2", F.bit_count("x").alias("hamming"))
+    if return_purged:
+        return pairs, purged
+    return pairs

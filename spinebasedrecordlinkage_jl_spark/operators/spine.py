@@ -25,8 +25,7 @@ localCheckpoint so the plan does not grow exponentially.
 
 from __future__ import annotations
 
-import threading
-
+from pyspark import InheritableThread
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
@@ -524,7 +523,13 @@ def form_entities(
         except BaseException as exc:  # surfaced on join()
             audit["error"] = exc
 
-    audit_thread = threading.Thread(target=_run_audit, daemon=True)
+    # InheritableThread, not threading.Thread: under PySpark's default
+    # pinned-thread mode a raw Python thread pins a JVM thread that is
+    # never released when the Python thread exits (one leaked JVM thread
+    # per form_entities call in a long-lived driver — multi-table runs,
+    # streaming), and job-group/local properties are not inherited, so
+    # cancelling the caller's job group would not cancel the audit job.
+    audit_thread = InheritableThread(target=_run_audit, daemon=True)
     audit_thread.start()
 
     def _contract(collide: frozenset[int]) -> tuple[DataFrame, DataFrame]:

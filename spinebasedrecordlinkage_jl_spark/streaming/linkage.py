@@ -58,6 +58,12 @@ def stream_link_to_spine(
     """
     if refresh_every_n_epochs < 1:
         raise ValueError(f"refresh_every_n_epochs must be >= 1, got {refresh_every_n_epochs}")
+    if spine is None and spine_refresh is None:
+        # spine=None is sanctioned ONLY with a refresh callable (the
+        # first micro-batch then loads the current spine); without one
+        # the query would fail deep inside the first micro-batch's
+        # link_table with an opaque AttributeError.
+        raise ValueError("stream_link_to_spine: spine=None requires spine_refresh")
     state = {"spine": spine, "batches_seen": 0}
 
     def _link_batch(batch: DataFrame, epoch_id: int) -> None:

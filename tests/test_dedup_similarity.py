@@ -202,3 +202,57 @@ def test_neardup_clusters_long_ids_unchanged(docs):
     out = {r["doc_id"]: r["cluster_id"] for r in D.neardup_clusters(docs, threshold=0.2).collect()}
     assert out[1] == 1 and out[2] == 1 and out[3] == 1
     assert out[4] == 4 and out[5] == 5
+
+
+def test_minhash_hot_bucket_guard(spark):
+    """max_band_population purges degenerate band buckets BEFORE the
+    self-join: 300 identical docs form ONE bucket per band which would
+    emit 300^2/2 join rows per band; with the cap the operator completes
+    with a countable purge (audit frame) instead, and cool buckets still
+    pair. Cap=None keeps the unguarded semantics."""
+    hot = [(i, "boilerplate page body repeated verbatim across the crawl")
+           for i in range(300)]
+    cool = [(1000, "a genuinely distinctive document about astronomy"),
+            (1001, "a genuinely distinctive document about astronomy!")]
+    docs = spark.createDataFrame(hot + cool, "doc_id long, text string")
+
+    pairs, purged = D.minhash_lsh_pairs(
+        docs, max_band_population=100, return_purged=True
+    )
+    purged_rows = purged.collect()
+    # all 4 bands of the hot family blow the cap, each with population 300
+    assert len(purged_rows) == 4
+    assert all(r["band_population"] == 300 for r in purged_rows)
+    got = {(r["id_1"], r["id_2"]) for r in pairs.collect()}
+    assert (1000, 1001) in got                      # cool bucket survives
+    assert not any(i < 300 and j < 300 for i, j in got)  # hot family purged
+
+    # guard off: the d^2/2 pairs come back (capped input keeps this cheap)
+    unguarded = D.minhash_lsh_pairs(docs, max_band_population=None)
+    assert unguarded.count() == 300 * 299 // 2 + 1
+
+
+def test_simhash_hot_bucket_guard(spark):
+    """Same purge contract for the Hamming-band join: identical docs
+    share every (band_idx, band_val) bucket; the cap drops those buckets
+    with an audit frame while near-dup pairs in cool buckets survive."""
+    hot = [(i, "boilerplate page body repeated verbatim across the crawl")
+           for i in range(300)]
+    # the cool family is a bucket of exactly 2 (identical text != hot
+    # text): guaranteed to share all its bands, population far below cap
+    cool = [(1000, "a genuinely distinctive document about astronomy"),
+            (1001, "a genuinely distinctive document about astronomy")]
+    docs = spark.createDataFrame(hot + cool, "doc_id long, text string")
+
+    pairs, purged = D.simhash_dedup(
+        docs, max_band_population=100, return_purged=True
+    )
+    purged_rows = purged.collect()
+    assert len(purged_rows) == 4  # 64 bits / 16-bit bands = 4 hot buckets
+    assert all(r["band_population"] >= 300 for r in purged_rows)
+    got = {(r["id_1"], r["id_2"]) for r in pairs.collect()}
+    assert (1000, 1001) in got
+    assert not any(i < 300 and j < 300 for i, j in got)
+
+    unguarded = D.simhash_dedup(docs, max_band_population=None)
+    assert unguarded.count() == 300 * 299 // 2 + 1
