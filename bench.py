@@ -87,6 +87,7 @@ def run_link_to_spine_throughput(
     spine = spine.localCheckpoint(eager=True)
     n_spine = spine.count()
 
+    cleanup = _rdd_cleanup_scope(spark)
     best = None
     for _ in range(max(repeats, 1)):
         t0 = time.time()
@@ -110,6 +111,7 @@ def run_link_to_spine_throughput(
         elapsed = time.time() - t0
         if best is None or elapsed < best:
             best = elapsed
+        cleanup()
     return {
         "n_turns": n_turns,
         "n_spine": n_spine,
@@ -177,11 +179,15 @@ def _scaled_docs_dir(spark, sf_dir: str, k: int) -> str:
     return out
 
 
-def run_sf_scale_sweep(spark, sf_dir: str, k: int) -> dict:
-    """Time each SCALE_QUERIES entry on the 1x and kx corpora and report
-    the growth exponent log_k(t_kx / t_1x): ~1 = scale-linear, ~2 =
+def run_sf_scale_sweep(
+    spark, sf_dir: str, k: int, queries: list[str] | None = None, repeats: int = 2
+) -> dict:
+    """Time each sweep query on the 1x and kx corpora and report the
+    growth exponent log_k(t_kx / t_1x): ~1 = scale-linear, ~2 =
     quadratic (a banded join gone hot). Catches nonlinearities the
-    single-sf per-query suite cannot see."""
+    single-sf per-query suite cannot see. Best-of-``repeats`` per cell
+    so a single GC pause or stage-scheduling hiccup cannot fabricate a
+    superlinear exponent (or hide one)."""
     import math
 
     # Both corpora go through the same materialization (k=1 is an
@@ -192,17 +198,19 @@ def run_sf_scale_sweep(spark, sf_dir: str, k: int) -> dict:
     sdir1 = _scaled_docs_dir(spark, sf_dir, 1)
     sdir = _scaled_docs_dir(spark, sf_dir, k)
     out = {}
-    for name in SCALE_QUERIES:
+    for name in queries if queries is not None else SCALE_QUERIES:
         # untimed warmup on the 1x corpus: codegen compilation and the
         # Arrow worker pool otherwise land on the first timed run and
         # skew the exponent negative (the kx run would look cheaper)
         QUERIES[name](spark, sdir1).count()
-        t0 = time.time()
-        n1 = QUERIES[name](spark, sdir1).count()
-        t1 = time.time() - t0
-        t0 = time.time()
-        nk = QUERIES[name](spark, sdir).count()
-        tk = time.time() - t0
+        t1 = n1 = tk = nk = None
+        for _ in range(repeats):
+            t0 = time.time()
+            n1 = QUERIES[name](spark, sdir1).count()
+            t1 = min(time.time() - t0, t1) if t1 is not None else time.time() - t0
+            t0 = time.time()
+            nk = QUERIES[name](spark, sdir).count()
+            tk = min(time.time() - t0, tk) if tk is not None else time.time() - t0
         out[name] = {
             "sec_1x": round(t1, 3),
             f"sec_{k}x": round(tk, 3),
@@ -237,8 +245,25 @@ def _bench_criteria():
     ]
 
 
-def run_linkage_throughput(spark, n_entities: int) -> dict:
-    """Full pipeline over synthesized transcripts; returns metrics."""
+def _rdd_cleanup_scope(spark):
+    """Snapshot the persistent-RDD set; returns a callable that
+    unpersists everything registered since — per-rep localCheckpoints
+    must not accumulate storage across benchmark reps."""
+    sc = spark.sparkContext
+    baseline = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+
+    def cleanup():
+        m = sc._jsc.getPersistentRDDs()
+        for rid in set(m.keySet().toArray()) - baseline:
+            m.get(rid).unpersist(True)
+
+    return cleanup
+
+
+def run_linkage_throughput(spark, n_entities: int, repeats: int = 1) -> dict:
+    """Full pipeline over synthesized transcripts; returns metrics.
+    Best-of-``repeats`` (per-rep checkpoint RDDs unpersisted between
+    reps so reps are independent)."""
     from pyspark.sql import functions as F
 
     from spinebasedrecordlinkage_jl_spark.operators.linkage import link_table
@@ -250,46 +275,52 @@ def run_linkage_throughput(spark, n_entities: int) -> dict:
     transcripts, _ = synthesize_transcripts(spark, n_entities=n_entities)
     transcripts = transcripts.localCheckpoint(eager=True)  # materialize input
     n_turns = transcripts.count()
+    cleanup = _rdd_cleanup_scope(spark)
 
-    t0 = time.time()
-    # Materialize each reused intermediate exactly once — records feed the
-    # criteria joins, the edge generator, representative selection AND the
-    # relink; without the checkpoint Catalyst re-runs the records
-    # aggregation for every branch of the DAG.
-    rec = (
-        linkage_records(transcripts)
-        .filter(F.col("birthdate").isNotNull())
-        # drop the consumed first_user_text before the checkpoint
-        # materializes the row (widest column, dead after extraction)
-        .select("EventId", "conv_id", "firstname", "lastname", "birthdate")
-        .repartition(2 * spark.sparkContext.defaultParallelism)
-        .localCheckpoint(eager=True)
-    )
-    spine0 = rec.limit(0).select(
-        F.col("EventId").alias("EntityId"),
-        F.col("EventId").alias("spine_seq"),
-        "firstname", "lastname", "birthdate",
-    )
-    linked = link_table(rec, spine0, crits, "transcripts")
-    unlinked = rec.join(linked.select("EventId"), "EventId", "left_anti").localCheckpoint(
-        eager=True
-    )
-    new_spine, _ = form_entities(
-        unlinked, crits,
-        construct_entityid_from=["firstname", "lastname", "birthdate"],
-        spine_columns=["EntityId", "firstname", "lastname", "birthdate"],
-        tablename="transcripts", order_col="conv_id",
-    )
-    new_spine = new_spine.localCheckpoint(eager=True)
-    relink = link_table(unlinked, new_spine, crits, "transcripts", broadcast_spine=None)
-    n_links = linked.unionByName(relink).count()
-    elapsed = time.time() - t0
+    best = None
+    for rep in range(max(repeats, 1)):
+        t0 = time.time()
+        # Materialize each reused intermediate exactly once — records feed
+        # the criteria joins, the edge generator, representative selection
+        # AND the relink; without the checkpoint Catalyst re-runs the
+        # records aggregation for every branch of the DAG.
+        rec = (
+            linkage_records(transcripts)
+            .filter(F.col("birthdate").isNotNull())
+            # drop the consumed first_user_text before the checkpoint
+            # materializes the row (widest column, dead after extraction)
+            .select("EventId", "conv_id", "firstname", "lastname", "birthdate")
+            .repartition(2 * spark.sparkContext.defaultParallelism)
+            .localCheckpoint(eager=True)
+        )
+        spine0 = rec.limit(0).select(
+            F.col("EventId").alias("EntityId"),
+            F.col("EventId").alias("spine_seq"),
+            "firstname", "lastname", "birthdate",
+        )
+        linked = link_table(rec, spine0, crits, "transcripts")
+        unlinked = rec.join(linked.select("EventId"), "EventId", "left_anti").localCheckpoint(
+            eager=True
+        )
+        new_spine, _ = form_entities(
+            unlinked, crits,
+            construct_entityid_from=["firstname", "lastname", "birthdate"],
+            spine_columns=["EntityId", "firstname", "lastname", "birthdate"],
+            tablename="transcripts", order_col="conv_id",
+        )
+        new_spine = new_spine.localCheckpoint(eager=True)
+        relink = link_table(unlinked, new_spine, crits, "transcripts", broadcast_spine=None)
+        n_links = linked.unionByName(relink).count()
+        elapsed = time.time() - t0
+        if best is None or elapsed < best:
+            best = elapsed
+        cleanup()
     return {
         "n_turns": n_turns,
         "n_records_linked": n_links,
-        "linkage_sec": round(elapsed, 3),
-        "linked_records_per_sec": round(n_links / elapsed, 1),
-        "turns_per_sec": round(n_turns / elapsed, 1),
+        "linkage_sec": round(best, 3),
+        "linked_records_per_sec": round(n_links / best, 1),
+        "turns_per_sec": round(n_turns / best, 1),
     }
 
 
@@ -325,16 +356,24 @@ def main() -> None:
         distance_column("jarowinkler", F.lit("warm"), F.lit("worm")).alias("d")
     ).select(F.sum("d")).collect()
 
+    # Best-of-REPEATS per query: the single-rep protocol let one GC
+    # pause or stage-scheduling hiccup read as a 60%+ "regression" on
+    # untouched code round-over-round; best-of-N measures the query,
+    # not the noise floor.
+    repeats = int(os.environ.get("SPINELINK_BENCH_REPEATS", "3"))
     per_query: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
-        t0 = time.time()
-        QUERIES[name](spark, sf_dir).count()
-        dt = time.time() - t0
-        per_query[name] = round(dt, 3)
-        total += dt
+        best = None
+        for _ in range(repeats):
+            t0 = time.time()
+            QUERIES[name](spark, sf_dir).count()
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        per_query[name] = round(best, 3)
+        total += best
 
-    link = run_linkage_throughput(spark, n_entities)
+    link = run_linkage_throughput(spark, n_entities, repeats=repeats)
     total += link["linkage_sec"]
     per_query["linkage_synthetic"] = link["linkage_sec"]
 
@@ -342,6 +381,17 @@ def main() -> None:
     # comparable across rounds); SPINELINK_BENCH_SCALE=1 disables.
     scale_k = int(os.environ.get("SPINELINK_BENCH_SCALE", "4"))
     sf_scale = run_sf_scale_sweep(spark, sf_dir, scale_k) if scale_k > 1 else None
+    # second-decade sweep for the operators whose k=4 exponent (~0.8)
+    # is within noise of linear-plus-constant: k=8 separates "amortizing
+    # fixed cost" from "creeping superlinear".
+    scale_k2 = int(os.environ.get("SPINELINK_BENCH_SCALE2", "8"))
+    sf_scale2 = (
+        run_sf_scale_sweep(
+            spark, sf_dir, scale_k2, queries=["ngram_jaccard_pairs", "simhash_pairs"]
+        )
+        if scale_k2 > 1
+        else None
+    )
 
     out = {
         "metric": "headline_suite_seconds",
@@ -350,8 +400,10 @@ def main() -> None:
         "queries": per_query,
         "sf": sf_dir,
         "cpus": int(cpus),
+        "repeats": repeats,
         "linkage_throughput": link,
         "sf_scale": sf_scale,
+        "sf_scale_k8": sf_scale2,
     }
     print(json.dumps(out))
     spark.stop()
