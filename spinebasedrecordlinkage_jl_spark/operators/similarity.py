@@ -20,6 +20,7 @@ shipped as literals (they are tiny: n_tables * n_bits * dim floats).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -88,6 +89,31 @@ def _hyperplanes(dim: int, n_tables: int, n_bits: int, seed: int) -> np.ndarray:
     return rng.standard_normal((n_tables, n_bits, dim))
 
 
+def _bucket_pandas_udf(planes: np.ndarray):
+    """All tables' sign-LSH bucket ids in ONE Arrow-vectorized kernel:
+    a (batch, dim) x (dim, n_tables*n_bits) matmul, sign -> packed bits.
+    The production-dim path: at dim 768+ the literal-plane expression
+    would embed n_tables*n_bits*dim floats in the plan (tens of
+    thousands of literals — minutes of analysis/codegen and a fallback
+    to interpreted eval), while here the planes ride the serialized
+    function (one copy per executor, Torrent-broadcast) and the per-row
+    cost is one BLAS-backed matmul row."""
+    from pyspark.sql.functions import pandas_udf
+
+    n_tables, n_bits, _dim = planes.shape
+    flat = planes.reshape(n_tables * n_bits, -1).T.copy()  # (dim, T*B)
+    weights = (1 << np.arange(n_bits, dtype=np.int64))
+
+    @pandas_udf("array<long>")
+    def buckets(v: pd.Series) -> pd.Series:
+        m = np.stack(v.to_numpy()).astype(np.float64)  # (batch, dim)
+        bits = (m @ flat) >= 0  # same >=0 sign convention as the literal path
+        vals = (bits.reshape(len(m), n_tables, n_bits) * weights).sum(axis=2)
+        return pd.Series(list(vals))
+
+    return buckets
+
+
 def _bucket_expr(vec: Column, planes: np.ndarray) -> Column:
     """Sign-LSH bucket id for one table: packed bits of sign(vec . h)."""
     vd = F.transform(vec, lambda x: x.cast("double"))
@@ -114,6 +140,7 @@ def lsh_bucketed_topk(
     seed: int = 42,
     exclude_self: bool = True,
     dim: int | None = None,
+    plane_strategy: str = "auto",
 ) -> DataFrame:
     """Approximate top-k: sign-LSH bucket join -> exact cosine on the
     candidate set. Recall grows with n_tables; each table is one shuffle
@@ -122,14 +149,35 @@ def lsh_bucketed_topk(
     Pass ``dim`` (the embedding dimensionality) to keep plan construction
     purely lazy; when omitted, a driver-side ``first()`` reads it from
     the corpus (one tiny Spark job at build time).
+
+    ``plane_strategy``: how the hyperplane dot products are computed.
+    ``"literal"`` embeds the planes as plan literals (pure Catalyst,
+    codegen, SQL-twin-friendly — right for small dim); ``"pandas"``
+    computes all tables' buckets in one Arrow-vectorized matmul kernel
+    (right for production dims, where literal planes mean tens of
+    thousands of plan literals); ``"auto"`` (default) picks pandas once
+    n_tables*n_bits*dim exceeds 8192 — i.e. dim 64 at the default
+    4x8 tables stays literal, dim 768 goes vectorized.
     """
     from pyspark.sql import Window
 
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
     planes = _hyperplanes(dim, n_tables, n_bits, seed)
+    if plane_strategy == "auto":
+        plane_strategy = "pandas" if n_tables * n_bits * dim > 8192 else "literal"
+    if plane_strategy not in ("literal", "pandas"):
+        raise ValueError(f"unknown plane_strategy {plane_strategy!r}")
+    bucket_udf = _bucket_pandas_udf(planes) if plane_strategy == "pandas" else None
 
     def with_buckets(df: DataFrame, idname: str) -> DataFrame:
+        if bucket_udf is not None:
+            exploded = df.select(
+                F.col(id_col).alias(idname),
+                F.col(vec_col).alias(f"_{idname}_vec"),
+                F.posexplode(bucket_udf(F.col(vec_col))).alias("table_idx", "bucket"),
+            )
+            return exploded.select(idname, f"_{idname}_vec", "table_idx", "bucket")
         buckets = F.array(
             *[
                 F.struct(F.lit(t).alias("table_idx"), _bucket_expr(F.col(vec_col), planes[t]).alias("bucket"))
