@@ -146,7 +146,7 @@ def _small_star(edges: DataFrame) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 30, convergence: str = "checksum"
+    edges: DataFrame, max_iter: int = 30, convergence: str = "star"
 ) -> DataFrame:
     """edges(src, dst) -> components(id, component).
 
@@ -156,16 +156,19 @@ def connected_components(
     only appear as isolated vertices are the caller's concern (left-join
     + coalesce with their own id).
 
-    ``convergence`` (measured within noise of each other at bench scale;
-    checksum is the default for its shuffle-free per-round action):
+    ``convergence`` (both sound; measured within noise of each other at
+    bench scale — CC rounds are ~5% of the full-pipeline bootstrap, see
+    BENCH/BASELINE.md):
+    - ``"star"`` (default): small_star's output orients every edge
+      src > dst, so the edge set is a fixpoint iff it is a star forest
+      (no node on both sides AND one dst per src). Testing THIS round's
+      output (one groupBy over the node roles) stops one full
+      contraction round earlier than checksum equality at the cost of a
+      shuffle per check — fewer driver-coordinated rounds, the serial
+      cost that matters at cluster scale.
     - ``"checksum"``: stop when (count, bit_xor hash) repeats — a
       shuffle-free single-stage aggregate per round, but always runs one
       confirming round past the fixpoint.
-    - ``"star"``: small_star's output orients every edge src > dst, so
-      the edge set is a fixpoint iff it is a star forest (no node on both
-      sides). Testing THIS round's output (one groupBy over the node
-      roles) stops one full contraction round earlier than checksum
-      equality at the cost of a shuffle per check.
     """
     import os
     import time
@@ -435,7 +438,7 @@ def form_entities(
     max_block_signatures: int | None = 10_000,
     order_col: str | None = None,
     entity_id_expr: Column | None = None,
-    cc_convergence: str = "checksum",
+    cc_convergence: str = "star",
     cc_max_iter: int = 30,
 ) -> tuple[DataFrame, DataFrame]:
     """Create entities from unlinked records -> ``(new_spine_rows, links)``.
