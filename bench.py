@@ -207,10 +207,12 @@ def run_sf_scale_sweep(
         for _ in range(repeats):
             t0 = time.time()
             n1 = QUERIES[name](spark, sdir1).count()
-            t1 = min(time.time() - t0, t1) if t1 is not None else time.time() - t0
+            dt = time.time() - t0
+            t1 = dt if t1 is None else min(dt, t1)
             t0 = time.time()
             nk = QUERIES[name](spark, sdir).count()
-            tk = min(time.time() - t0, tk) if tk is not None else time.time() - t0
+            dt = time.time() - t0
+            tk = dt if tk is None else min(dt, tk)
         out[name] = {
             "sec_1x": round(t1, 3),
             f"sec_{k}x": round(tk, 3),

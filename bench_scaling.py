@@ -337,8 +337,12 @@ def _code_fingerprint() -> str:
             capture_output=True, text=True, check=True,
             cwd=Path(__file__).parent,
         ).stdout.strip()
+        # PROGRESS.jsonl is a driver-side log appended mid-round; it is
+        # not engine code and must not flip the fingerprint to +dirty
+        # between cells of one measurement campaign.
         dirty = subprocess.run(
-            ["git", "status", "--porcelain", "--untracked-files=no"],
+            ["git", "status", "--porcelain", "--untracked-files=no",
+             "--", ".", ":(exclude)PROGRESS.jsonl"],
             capture_output=True, text=True, check=True,
             cwd=Path(__file__).parent,
         ).stdout.strip()
