@@ -168,7 +168,7 @@ class LinkageConfig:
     # blocks with more DISTINCT match signatures than this are purged
     # from fuzzy edge generation (0 = unlimited; see spine.match_pairs)
     max_block_signatures: int = 10_000
-    cc_convergence: str = "star"  # "star" | "checksum"
+    cc_convergence: str = "checksum"  # "checksum" | "star"
     cc_max_iter: int = 30
 
     def __post_init__(self) -> None:
@@ -402,6 +402,6 @@ def load_config(path: str | Path, check_files: bool = True) -> LinkageConfig:
         broadcast_spine=bool(raw.get("broadcast_spine", True)),
         checkpoint_dir=raw.get("checkpoint_dir") or None,
         max_block_signatures=int(raw.get("max_block_signatures", 10_000)),
-        cc_convergence=str(raw.get("cc_convergence", "star")),
+        cc_convergence=str(raw.get("cc_convergence", "checksum")),
         cc_max_iter=int(raw.get("cc_max_iter", 30)),
     )

@@ -146,7 +146,7 @@ def _small_star(edges: DataFrame) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 30, convergence: str = "star"
+    edges: DataFrame, max_iter: int = 30, convergence: str = "checksum"
 ) -> DataFrame:
     """edges(src, dst) -> components(id, component).
 
@@ -156,19 +156,22 @@ def connected_components(
     only appear as isolated vertices are the caller's concern (left-join
     + coalesce with their own id).
 
-    ``convergence`` (both sound; measured within noise of each other at
-    bench scale — CC rounds are ~5% of the full-pipeline bootstrap, see
-    BENCH/BASELINE.md):
-    - ``"star"`` (default): small_star's output orients every edge
-      src > dst, so the edge set is a fixpoint iff it is a star forest
-      (no node on both sides AND one dst per src). Testing THIS round's
-      output (one groupBy over the node roles) stops one full
-      contraction round earlier than checksum equality at the cost of a
-      shuffle per check — fewer driver-coordinated rounds, the serial
-      cost that matters at cluster scale.
+    ``convergence`` (both sound; checksum is the default — MEASURED, not
+    assumed: on the 26M-turn bootstrap a star default cost +36% at 8
+    cores / +56% at 2, because the per-round star-forest check shuffles
+    the full edge relation while checksum's check is a shuffle-free
+    aggregate; the one contraction round star saves does not pay for
+    3-4 extra edge-relation shuffles):
     - ``"checksum"``: stop when (count, bit_xor hash) repeats — a
       shuffle-free single-stage aggregate per round, but always runs one
       confirming round past the fixpoint.
+    - ``"star"``: small_star's output orients every edge src > dst, so
+      the edge set is a fixpoint iff it is a star forest (no node on
+      both sides AND one dst per src). Testing THIS round's output (one
+      groupBy over the node roles) stops one full contraction round
+      earlier than checksum equality at the cost of a full shuffle per
+      check — fewest driver-coordinated rounds, for regimes where round
+      count dominates shuffle cost (very long chains, tiny edge sets).
     """
     import os
     import time
@@ -438,7 +441,7 @@ def form_entities(
     max_block_signatures: int | None = 10_000,
     order_col: str | None = None,
     entity_id_expr: Column | None = None,
-    cc_convergence: str = "star",
+    cc_convergence: str = "checksum",
     cc_max_iter: int = 30,
 ) -> tuple[DataFrame, DataFrame]:
     """Create entities from unlinked records -> ``(new_spine_rows, links)``.
