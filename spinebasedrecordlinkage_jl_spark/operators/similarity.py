@@ -1,17 +1,24 @@
 """Similarity search over embedding columns (array<float>).
 
-Two tiers, the standard ANN ladder:
+Three tiers, the standard ANN ladder:
 
 - ``brute_force_topk``: exact cosine top-k. The dot products run as
   pure Catalyst array expressions (zip_with + aggregate — JVM, codegen)
   so even brute force never leaves the executor; the per-query top-k is
   one window. Cost O(|queries| * |corpus|): correct baseline, and the
-  verifier for the bucketed path.
-- ``lsh_bucketed_topk``: random-hyperplane (sign-LSH) bucketing — an
-  IVF-style scale path: candidates = vectors sharing the query's bucket
-  in >=1 of the hash tables, then exact cosine only on candidates. At
-  1000-executor scale the bucket join replaces the full cross product
-  with per-bucket locality, and the bucket key is the shuffle key.
+  verifier for the bucketed paths.
+- ``lsh_bucketed_topk``: random-hyperplane (sign-LSH) bucketing — a
+  data-independent scale path: candidates = vectors sharing the query's
+  bucket in >=1 of the hash tables, then exact cosine only on
+  candidates. At 1000-executor scale the bucket join replaces the full
+  cross product with per-bucket locality, and the bucket key is the
+  shuffle key.
+- ``ivf_topk``: inverted-file index over a coarse quantizer — the
+  data-dependent scale path (the structure behind FAISS IVF): corpus
+  vectors partition into centroid cells, queries probe their ``nprobe``
+  nearest cells. Trainer-agnostic: consumes any (cell_id, centroid)
+  frame (``sample_centroids`` for a deterministic seed, external
+  k-means at production).
 
 Hyperplanes are generated deterministically from a seed via NumPy and
 shipped as literals (they are tiny: n_tables * n_bits * dim floats).
@@ -196,6 +203,147 @@ def lsh_bucketed_topk(
         c.join(q, ["table_idx", "bucket"])
         .select("query_id", "neighbor_id", "_query_id_vec", "_neighbor_id_vec")
         .distinct()
+    )
+    if exclude_self:
+        cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = cand.withColumn(
+        "sim", F.round(cosine_similarity(F.col("_query_id_vec"), F.col("_neighbor_id_vec")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", F.col("rank").cast("int"))
+    )
+
+
+def sample_centroids(
+    df: DataFrame,
+    stride: int = 97,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic coarse-quantizer "training" for :func:`ivf_topk`:
+    every ``stride``-th vector becomes a cell centroid. A data sample is
+    the standard cheap initializer (k-means|| seeds the same way); at
+    production swap in properly trained centroids — ``ivf_topk`` is
+    trainer-agnostic and only consumes the (cell_id, centroid) frame."""
+    return df.filter(F.col(id_col) % stride == 0).select(
+        F.col(id_col).alias("cell_id"), F.col(vec_col).alias("centroid")
+    )
+
+
+def _ivf_cells_pandas_udf(cents: np.ndarray, cell_ids: np.ndarray, nprobe: int):
+    """Nearest-``nprobe`` IVF cells for a batch of vectors in one
+    Arrow-vectorized kernel: a (batch, dim) x (dim, C) matmul on
+    L2-normalized rows, round to 6, stable argsort. ``cell_ids`` must be
+    ascending so the stable sort's tie-break is cell_id ASC — the same
+    order the literal path and the SQL oracle use."""
+    from pyspark.sql.functions import pandas_udf
+
+    cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-300)
+
+    @pandas_udf("array<long>")
+    def cells(v: pd.Series) -> pd.Series:
+        m = np.stack(v.to_numpy()).astype(np.float64)
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+        sims = np.round(mn @ cn.T, 6)
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(cell_ids[order]))
+
+    return cells
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+    assign_strategy: str = "auto",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: each corpus vector is
+    assigned to its nearest centroid cell, each query probes its
+    ``nprobe`` nearest cells, and exact cosine runs only on the probed
+    cells' members. Output schema identical to ``brute_force_topk``.
+
+    ``centroids`` is a small (cell_id, centroid) frame — from
+    :func:`sample_centroids` or an external k-means trainer. It is
+    collected once at plan-build time (a coarse quantizer is tiny by
+    construction: even 65k cells x 1k dims is ~0.5 GB, and typical
+    configs are kilobytes) and shipped to executors, so ASSIGNMENT IS
+    SHUFFLE-FREE — the only shuffles in the plan are the candidate join
+    on cell_id (query side broadcast) and the per-query top-k window.
+
+    ``assign_strategy``: ``"literal"`` evaluates the centroid dot
+    products as a per-row Catalyst array expression (pure JVM, codegen,
+    SQL-twin-friendly — right for small C*dim); ``"pandas"`` does one
+    BLAS matmul per Arrow batch (right for production cell counts);
+    ``"auto"`` picks pandas once C*dim exceeds 8192. Both use the same
+    round-to-6 + cell_id-ASC tie-break, so they agree exactly.
+    """
+    from pyspark.sql import Window
+
+    cents = sorted(
+        ((r["cell_id"], list(r["centroid"])) for r in centroids.collect()),
+        key=lambda t: t[0],
+    )
+    if not cents:
+        raise ValueError("ivf_topk: centroids frame is empty")
+    n_cells = len(cents)
+    dim = len(cents[0][1])
+    nprobe = min(nprobe, n_cells)
+    if assign_strategy == "auto":
+        assign_strategy = "pandas" if n_cells * dim > 8192 else "literal"
+    if assign_strategy not in ("literal", "pandas"):
+        raise ValueError(f"unknown assign_strategy {assign_strategy!r}")
+
+    if assign_strategy == "pandas":
+        cmat = np.array([v for _, v in cents], dtype=np.float64)
+        cids = np.array([c for c, _ in cents], dtype=np.int64)
+
+        def probe_cells(vec: Column, n: int) -> Column:
+            return _ivf_cells_pandas_udf(cmat, cids, n)(vec)
+
+    else:
+        cent_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(int(cid)).alias("cell_id"),
+                    F.array(*[F.lit(float(x)) for x in vec]).alias("cvec"),
+                )
+                for cid, vec in cents
+            ]
+        )
+
+        def probe_cells(vec: Column, n: int) -> Column:
+            # per-row, zero-shuffle: score every centroid, sort by
+            # (-sim, cell_id), keep the first n cell ids
+            scored = F.transform(
+                cent_arr,
+                lambda c: F.struct(
+                    (-F.round(cosine_similarity(vec, c["cvec"]), 6)).alias("negsim"),
+                    c["cell_id"].alias("cell_id"),
+                ),
+            )
+            return F.transform(
+                F.slice(F.array_sort(scored), 1, n), lambda s: s["cell_id"]
+            )
+
+    def with_cells(df: DataFrame, idname: str, n: int) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(idname),
+            F.col(vec_col).alias(f"_{idname}_vec"),
+            F.explode(probe_cells(F.col(vec_col), n)).alias("cell_id"),
+        )
+
+    c = with_cells(corpus, "neighbor_id", 1)  # IVF: one cell per corpus vector
+    q = F.broadcast(with_cells(queries, "query_id", nprobe))
+    cand = c.join(q, "cell_id").select(
+        "query_id", "neighbor_id", "_query_id_vec", "_neighbor_id_vec"
     )
     if exclude_self:
         cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))

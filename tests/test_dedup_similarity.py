@@ -307,3 +307,78 @@ def test_lsh_topk_production_dim_768(spark):
     # probability; the floor is far below the observed recall so plane
     # RNG drift across numpy versions cannot flake the test
     assert recall >= 0.5, f"recall {recall:.2f}"
+
+
+@pytest.fixture(scope="module")
+def clustered_vectors(spark):
+    """200 vectors in 10 tight clusters — the regime IVF is built for."""
+    rng = np.random.default_rng(13)
+    centers = rng.standard_normal((10, 16)) * 5
+    rows = [
+        (int(i), (centers[i % 10] + rng.standard_normal(16) * 0.05).tolist())
+        for i in range(200)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_ivf_topk_recall_on_clustered_data(clustered_vectors):
+    df = clustered_vectors
+    queries = df.filter(F.col("vec_id") < 5)
+    cents = S.sample_centroids(df, stride=19)  # 11 sampled centroids
+    got = S.ivf_topk(df, queries, cents, k=5, nprobe=2)
+    rows = got.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["sim"]
+        for r in S.brute_force_topk(df, queries, k=5).collect()
+    }
+    hit = sum(1 for r in rows if (r["query_id"], r["neighbor_id"]) in exact)
+    # cluster mates share a cell with their query's nearest centroid
+    assert hit / len(exact) >= 0.8, f"recall {hit / len(exact):.2f}"
+    # sims on shared pairs are the exact cosine, identically rounded
+    for r in rows:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact:
+            assert r["sim"] == exact[key]
+    # per-query ranks are 1..n with no gaps
+    for q, rs in by_q.items():
+        assert sorted(r["rank"] for r in rs) == list(range(1, len(rs) + 1))
+
+
+def test_ivf_full_probe_equals_brute_force(clustered_vectors):
+    """nprobe = n_cells degenerates IVF to exact search: every query
+    probes every cell, so the candidate set is the whole corpus and the
+    output must equal brute_force_topk row-for-row (same rounding, same
+    tie-breaks)."""
+    df = clustered_vectors
+    queries = df.filter(F.col("vec_id") % 40 == 0)
+    cents = S.sample_centroids(df, stride=19)
+    n_cells = cents.count()
+    ivf = S.ivf_topk(df, queries, cents, k=3, nprobe=n_cells)
+    bf = S.brute_force_topk(df, queries, k=3)
+    as_set = lambda d: {
+        (r["query_id"], r["neighbor_id"], r["sim"], r["rank"]) for r in d.collect()
+    }
+    assert as_set(ivf) == as_set(bf)
+
+
+def test_ivf_assign_strategies_agree(clustered_vectors):
+    """The literal-centroid Catalyst path and the Arrow matmul path use
+    the same round-to-6 + cell_id-ASC tie-break: identical output."""
+    df = clustered_vectors
+    queries = df.filter(F.col("vec_id") < 5)
+    cents = S.sample_centroids(df, stride=19)
+    lit = S.ivf_topk(df, queries, cents, k=4, nprobe=2, assign_strategy="literal")
+    pan = S.ivf_topk(df, queries, cents, k=4, nprobe=2, assign_strategy="pandas")
+    as_set = lambda d: {
+        (r["query_id"], r["neighbor_id"], r["sim"], r["rank"]) for r in d.collect()
+    }
+    assert as_set(lit) == as_set(pan)
+
+
+def test_ivf_empty_centroids_raises(clustered_vectors):
+    df = clustered_vectors
+    with pytest.raises(ValueError, match="centroids frame is empty"):
+        S.ivf_topk(df, df.limit(1), S.sample_centroids(df.limit(0)), k=1)

@@ -41,7 +41,7 @@ ORACLE_NAMES = sorted(entry_mod.oracle_sql().keys())
 
 
 def test_every_query_has_an_oracle():
-    """29/29: no rows-only entries — every registry query is value-hash
+    """No rows-only entries — every registry query is value-hash
     verifiable against DuckDB."""
     assert sorted(entry_mod.queries().keys()) == ORACLE_NAMES
 
