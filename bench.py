@@ -42,6 +42,16 @@ HEADLINE = [
     "multimodal_meta",
 ]
 
+#: round-4 operator additions, timed separately so the headline total
+#: stays comparable round-over-round
+EXTENDED = [
+    "ann_ivf_topk",
+    "decontaminate",
+    "pii_scrub",
+    "stratified_sample",
+    "quality_filter",
+]
+
 
 def run_link_to_spine_throughput(
     spark, n_entities: int, max_convs_per_entity: int = 4, repeats: int = 1
@@ -379,6 +389,18 @@ def main() -> None:
     total += link["linkage_sec"]
     per_query["linkage_synthetic"] = link["linkage_sec"]
 
+    # round-4 additions, timed OUTSIDE the headline total so `value`
+    # stays comparable across rounds
+    extended: dict[str, float] = {}
+    for name in EXTENDED:
+        best = None
+        for _ in range(repeats):
+            t0 = time.time()
+            QUERIES[name](spark, sf_dir).count()
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        extended[name] = round(best, 3)
+
     # sf-scale sweep (separate from the headline total so BENCH_r* stays
     # comparable across rounds); SPINELINK_BENCH_SCALE=1 disables.
     scale_k = int(os.environ.get("SPINELINK_BENCH_SCALE", "4"))
@@ -400,6 +422,7 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": per_query,
+        "queries_extended": extended,
         "sf": sf_dir,
         "cpus": int(cpus),
         "repeats": repeats,

@@ -1,0 +1,105 @@
+"""Corpus-curation operators: decontamination, PII scrub, deterministic
+stratified sampling, quality filter."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spinebasedrecordlinkage_jl_spark.operators import curation as C
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog again and again", "a"),
+        (1, "quick brown fox jumps over the lazy dog today", "a"),  # shares 5-grams with 0
+        (2, "completely different words in this one entirely", "b"),
+        (3, "short", "b"),
+        (4, "mail me at alice.smith+x@example.org or call 12 345-6789 ok", "c"),
+        (5, "", "c"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_word_ngrams_short_and_empty(docs):
+    out = {
+        r["doc_id"]: r["g"]
+        for r in docs.select("doc_id", C.word_ngrams(F.col("text"), 5).alias("g")).collect()
+    }
+    assert out[3] == []  # fewer tokens than n
+    assert out[5] == []
+    assert "the quick brown fox jumps" in out[0]
+    # distinct: doc 0 repeats nothing at 5-gram granularity
+    assert len(out[0]) == len(set(out[0]))
+
+
+def test_decontaminate_flags_overlap(docs):
+    bench = docs.filter(F.col("doc_id") == 0)
+    got = {r["doc_id"]: r for r in C.decontaminate(docs, bench, n=5).collect()}
+    assert got[0]["contaminated"]  # benchmark doc overlaps itself
+    assert got[1]["contaminated"] and got[1]["n_contaminated_grams"] >= 1
+    assert not got[2]["contaminated"] and got[2]["n_contaminated_grams"] == 0
+    assert not got[3]["contaminated"]  # too short to form a 5-gram
+    assert len(got) == 6  # every input doc present exactly once
+
+
+def test_pii_scrub_redacts_email_and_number(docs):
+    got = {r["doc_id"]: r for r in C.pii_scrub(docs).collect()}
+    assert got[4]["text_scrubbed"] == "mail me at <EMAIL> or call <NUMBER> ok"
+    assert got[4]["n_redactions"] == 2
+    assert got[0]["text_scrubbed"] == got[0]["text_scrubbed"]
+    assert got[0]["n_redactions"] == 0
+    assert got[5]["n_redactions"] == 0
+
+
+def test_stratified_sample_deterministic_and_rate_accurate(spark):
+    df = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("source"),
+    )
+    rates = {"a": 0.25, "b": 0.75}
+    got1 = set(r["doc_id"] for r in C.stratified_sample(df, rates).collect())
+    got2 = set(
+        r["doc_id"]
+        for r in C.stratified_sample(df.repartition(7), rates).collect()
+    )
+    assert got1 == got2  # partitioning-independent
+    n_a = sum(1 for d in got1 if d % 2 == 0)
+    n_b = len(got1) - n_a
+    assert abs(n_a / 2000 - 0.25) < 0.05
+    assert abs(n_b / 2000 - 0.75) < 0.05
+    # a different salt draws a different sample
+    got3 = set(r["doc_id"] for r in C.stratified_sample(df, rates, salt="other").collect())
+    assert got1 != got3
+
+
+def test_stratified_sample_default_rate_zero_drops_unknown_strata(docs):
+    out = C.stratified_sample(docs, {"a": 1.0})  # b, c default to 0.0
+    assert set(r["source"] for r in out.collect()) == {"a"}
+
+
+def test_quality_filter_reasons(docs):
+    got = {r["doc_id"]: r for r in C.quality_filter(
+        docs, min_tokens=8, max_punct_ratio=0.1, min_stopword_ratio=0.05
+    ).collect()}
+    assert got[0]["keep"] and got[0]["reasons"] == ""
+    assert not got[3]["keep"] and "short" in got[3]["reasons"]
+    # doc 2 has enough tokens but no stopwords... 'in this' contains none of
+    # the en markers except none -> stopword reason fires
+    assert "stopword" in got[2]["reasons"]
+    # empty doc fails short and stopword, reasons joined deterministically
+    assert got[5]["reasons"] == "short,stopword"
+
+
+def test_quality_filter_terminal_punct(spark):
+    df = spark.createDataFrame(
+        [(1, "a good long sentence that is of the usual quality and ends well.")],
+        "doc_id long, text string",
+    )
+    ok = C.quality_filter(df, min_tokens=5, require_terminal_punct=True).collect()[0]
+    assert ok["keep"]
+    df2 = spark.createDataFrame(
+        [(1, "a good long sentence that is of the usual quality but unterminated")],
+        "doc_id long, text string",
+    )
+    bad = C.quality_filter(df2, min_tokens=5, require_terminal_punct=True).collect()[0]
+    assert not bad["keep"] and bad["reasons"] == "no_terminal_punct"
