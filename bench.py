@@ -50,6 +50,9 @@ EXTENDED = [
     "pii_scrub",
     "stratified_sample",
     "quality_filter",
+    "repetition_stats",
+    "line_dedup",
+    "vocab_topk",
 ]
 
 

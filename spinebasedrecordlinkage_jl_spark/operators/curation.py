@@ -23,6 +23,19 @@ entry_queries.py so the DuckDB oracle verifies it value-for-value:
 - ``quality_filter``: C4-style composite gate over the text-quality
   kernels in functions/text.py, returning keep + a deterministic
   comma-joined reasons string.
+- ``repetition_stats``: Gopher-style repetition signals (duplicate-line
+  fraction/char-fraction, top n-gram char fraction, duplicated n-gram
+  occurrence fraction). Line stats are shuffle-free higher-order-function
+  expressions; n-gram stats shuffle only on (doc_id, gram) — a key that
+  cannot be hot because it embeds the document id.
+- ``line_dedup``: corpus-level exact line dedup (CCNet/Dolma-style,
+  first global occurrence wins). The global-first computation is a
+  partial-aggregatable min-struct groupBy — deliberately NOT a window
+  over the line key, which could not map-side combine and would
+  serialize a line duplicated a billion times into one partition.
+- ``vocab_topk``: corpus-wide token frequencies, top k — map-side
+  combinable count + two-level distinct, then TakeOrdered (no full
+  sort materialization).
 """
 
 from __future__ import annotations
@@ -33,9 +46,12 @@ from pyspark.sql import functions as F
 from ..functions.text import punct_ratio, stopword_ratio, ws_token_count
 
 
-def word_ngrams(text: Column, n: int = 5, max_tokens: int | None = None) -> Column:
-    """Distinct lowercase word n-grams (whitespace tokenization),
-    optionally capped at the first ``max_tokens`` tokens."""
+def word_ngrams(
+    text: Column, n: int = 5, max_tokens: int | None = None, distinct: bool = True
+) -> Column:
+    """Lowercase word n-grams (whitespace tokenization), optionally
+    capped at the first ``max_tokens`` tokens; ``distinct=False`` keeps
+    every occurrence (repetition statistics need multiplicity)."""
     toks = F.split(F.trim(F.lower(text)), r"\s+")
     if max_tokens is not None:
         toks = F.slice(toks, 1, max_tokens)
@@ -44,9 +60,8 @@ def word_ngrams(text: Column, n: int = 5, max_tokens: int | None = None) -> Colu
     idx = F.when(count >= 1, F.sequence(F.lit(1), count)).otherwise(
         F.array().cast("array<int>")
     )
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
-    )
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    return F.array_distinct(grams) if distinct else grams
 
 
 def decontaminate(
@@ -168,4 +183,209 @@ def quality_filter(
         F.col(id_col),
         (reasons == "").alias("keep"),
         reasons.alias("reasons"),
+    )
+
+
+def _nonempty_lines(text: Column, line_sep: str) -> Column:
+    """Split on the ``line_sep`` regex, dropping empty segments (leading/
+    trailing separators and blank lines)."""
+    return F.filter(F.split(text, line_sep), lambda x: F.length(x) > 0)
+
+
+def repetition_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_sep: str = r"\n",
+    top_ngram_n: int = 2,
+    dup_ngram_n: int = 3,
+) -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021,
+    table A1): (id, dup_line_frac, dup_line_char_frac,
+    top_ngram_char_frac, dup_ngram_frac).
+
+    - ``dup_line_frac``: fraction of non-empty line occurrences whose
+      line appears more than once in the document (every copy of a
+      duplicated line counts, matching Gopher).
+    - ``dup_line_char_frac``: fraction of line characters belonging to
+      lines that occur more than once.
+    - ``top_ngram_char_frac``: occurrences of the most frequent word
+      ``top_ngram_n``-gram times its length, over the document's total
+      characters (ties broken by lexicographically-last gram, so engine
+      and oracle agree bit-for-bit).
+    - ``dup_ngram_frac``: fraction of word ``dup_ngram_n``-gram
+      occurrences whose gram occurs more than once (count-based variant
+      of Gopher's duplicated-n-gram character fraction).
+
+    Line stats are pure higher-order-function expressions — shuffle-free,
+    O(lines^2) per document in codegen (documents have tens-to-hundreds
+    of lines; no corpus-size term). The two n-gram aggregations shuffle
+    on (id, gram), a key that embeds the unique document id and therefore
+    cannot be hot no matter how duplicate-heavy the corpus is."""
+    text = F.col(text_col)
+    lines = _nonempty_lines(text, line_sep)
+    n_lines = F.size(lines)
+    # every occurrence of a line that appears more than once counts as
+    # duplicated (Gopher's definition — NOT occurrences-beyond-first),
+    # consistent with the char-fraction and n-gram stats below
+    dup_lines = F.filter(
+        lines, lambda x: F.size(F.filter(lines, lambda y: y == x)) > 1
+    )
+    dup_line_frac = F.when(
+        n_lines > 0, F.size(dup_lines).cast("double") / n_lines
+    ).otherwise(F.lit(0.0))
+    total_chars = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    dup_chars = F.aggregate(
+        dup_lines, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    dup_line_char_frac = F.when(
+        total_chars > 0, dup_chars.cast("double") / total_chars
+    ).otherwise(F.lit(0.0))
+    base = docs.select(
+        F.col(id_col),
+        F.round(dup_line_frac, 6).alias("dup_line_frac"),
+        F.round(dup_line_char_frac, 6).alias("dup_line_char_frac"),
+        F.length(text).alias("_n_chars"),
+    )
+
+    def _gram_counts(n: int) -> DataFrame:
+        return (
+            docs.select(
+                F.col(id_col),
+                F.explode(word_ngrams(text, n, distinct=False)).alias("gram"),
+            )
+            .groupBy(id_col, "gram")
+            .agg(F.count("*").alias("cnt"))
+        )
+
+    top = (
+        _gram_counts(top_ngram_n)
+        .groupBy(id_col)
+        .agg(F.max(F.struct("cnt", "gram")).alias("top"))
+        .select(
+            id_col,
+            (F.col("top.cnt") * F.length("top.gram")).alias("_top_chars"),
+        )
+    )
+    dup = (
+        _gram_counts(dup_ngram_n)
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("_n_grams"),
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias(
+                "_dup_occ"
+            ),
+        )
+    )
+    return (
+        base.join(top, id_col, "left")
+        .join(dup, id_col, "left")
+        .select(
+            id_col,
+            "dup_line_frac",
+            "dup_line_char_frac",
+            F.round(
+                F.coalesce(
+                    F.col("_top_chars").cast("double") / F.col("_n_chars"),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("top_ngram_char_frac"),
+            F.round(
+                F.coalesce(
+                    F.col("_dup_occ").cast("double") / F.col("_n_grams"),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("dup_ngram_frac"),
+        )
+    )
+
+
+def line_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_sep: str = r"\n",
+    join_sep: str = "\n",
+) -> DataFrame:
+    """Corpus-level exact line deduplication, first global occurrence
+    wins (the CCNet/Dolma pre-training hygiene pass): every non-empty
+    line that already appeared earlier in the corpus — ordered by
+    (id, line position) — is dropped, and each document's text is
+    reassembled from its surviving lines. Returns (id, text_deduped,
+    n_lines_kept, n_lines_dropped); documents losing every line come
+    back with empty text, never missing.
+
+    Scale shape: the global-first computation is a min-struct groupBy on
+    the line content — partial-aggregatable, so a line duplicated a
+    billion times collapses map-side instead of serializing into one
+    window partition (a row_number window over the line key could not
+    combine map-side). The join back on the line key is big-to-distinct
+    and AQE's skew-join split handles residual hot lines; reassembly
+    shuffles on the unique document id."""
+    lines = _nonempty_lines(F.col(text_col), line_sep)
+    exploded = docs.select(
+        F.col(id_col), F.posexplode(lines).alias("pos", "line")
+    )
+    firsts = exploded.groupBy("line").agg(
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))).alias(
+            "first"
+        )
+    )
+    kept = exploded.join(firsts, "line").filter(
+        (F.col(id_col) == F.col("first.i")) & (F.col("pos") == F.col("first.p"))
+    )
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+            join_sep,
+        ).alias("text_deduped"),
+        F.count("*").alias("n_lines_kept"),
+    )
+    return (
+        docs.select(F.col(id_col), F.size(lines).cast("long").alias("_n_lines"))
+        .join(reassembled, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
+            F.coalesce("n_lines_kept", F.lit(0)).cast("long").alias("n_lines_kept"),
+            (F.col("_n_lines") - F.coalesce("n_lines_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_lines_dropped"),
+        )
+    )
+
+
+def vocab_topk(
+    docs: DataFrame, k: int = 100, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-wide token vocabulary, top ``k`` by occurrence count
+    (ties broken by token, so the cut is deterministic): (token,
+    n_occurrences, n_docs). Tokens are lowercase alphanumeric runs — the
+    pre-tokenizer split BPE vocabularies start from.
+
+    One shuffle on the token key with map-side combine for the counts;
+    ``n_docs`` is the standard two-level distinct aggregation. The final
+    top-k is orderBy+limit, which Spark executes as TakeOrdered — no
+    full-sort materialization of the vocabulary."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
+        ).alias("token"),
+    )
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.countDistinct(id_col).cast("long").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(k)
     )

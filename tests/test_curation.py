@@ -90,6 +90,75 @@ def test_quality_filter_reasons(docs):
     assert got[5]["reasons"] == "short,stopword"
 
 
+def test_repetition_stats_lines_and_ngrams(spark):
+    rows = [
+        # 4 lines, "dup" twice: dup_line_frac=0.25... (2 dup lines of 4)
+        (1, "dup\nunique one\ndup\nanother line"),
+        (2, "a b a b a b"),  # top 2-gram "a b" x3, len 3 -> 9/11 chars
+        (3, ""),  # empty -> all zeros
+        (4, "one two three four"),  # nothing repeats
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in C.repetition_stats(df, top_ngram_n=2, dup_ngram_n=2).collect()
+    }
+    # doc 1: lines = [dup, unique one, dup, another line]; 2 of 4 are dups
+    assert got[1]["dup_line_frac"] == pytest.approx(0.5)
+    # dup chars = 3+3 = 6 of total 3+10+3+12 = 28
+    assert got[1]["dup_line_char_frac"] == pytest.approx(6 / 28, abs=1e-6)
+    # doc 2: top 2-gram "a b" occurs 3x, len 3, text len 11
+    assert got[2]["top_ngram_char_frac"] == pytest.approx(9 / 11, abs=1e-6)
+    # 5 two-gram occurrences: "a b"x3 + "b a"x2 -> all duplicated
+    assert got[2]["dup_ngram_frac"] == pytest.approx(1.0)
+    assert got[3]["dup_line_frac"] == 0.0
+    assert got[3]["top_ngram_char_frac"] == 0.0
+    assert got[4]["dup_line_frac"] == 0.0
+    assert got[4]["dup_ngram_frac"] == 0.0
+    assert len(got) == 4  # every doc present, including gram-less ones
+
+
+def test_line_dedup_first_occurrence_wins(spark):
+    rows = [
+        (1, "keep me\nshared line\nonly here"),
+        (2, "shared line\nnew in two\nshared line"),  # both copies drop
+        (3, "shared line"),  # loses everything
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in C.line_dedup(df).collect()}
+    assert got[1]["text_deduped"] == "keep me\nshared line\nonly here"
+    assert got[1]["n_lines_dropped"] == 0
+    assert got[2]["text_deduped"] == "new in two"
+    assert got[2]["n_lines_kept"] == 1 and got[2]["n_lines_dropped"] == 2
+    assert got[3]["text_deduped"] == "" and got[3]["n_lines_kept"] == 0
+
+
+def test_line_dedup_order_is_global_id_then_pos(spark):
+    # the FIRST occurrence by (doc_id, pos) survives, not an arbitrary one
+    df = spark.createDataFrame(
+        [(5, "x\ny"), (4, "y\nx")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in C.line_dedup(df).collect()}
+    assert got[4]["text_deduped"] == "y\nx"
+    assert got[5]["text_deduped"] == ""
+
+
+def test_vocab_topk_deterministic_cut(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "apple banana apple Cherry"),
+            (2, "banana apple date2 date2"),
+        ],
+        "doc_id long, text string",
+    )
+    got = C.vocab_topk(df, k=3).collect()
+    assert [(r["token"], r["n_occurrences"], r["n_docs"]) for r in got] == [
+        ("apple", 3, 2),
+        ("banana", 2, 2),
+        ("date2", 2, 1),  # tie with banana broken by token asc
+    ]
+
+
 def test_quality_filter_terminal_punct(spark):
     df = spark.createDataFrame(
         [(1, "a good long sentence that is of the usual quality and ends well.")],
