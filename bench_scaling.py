@@ -276,11 +276,15 @@ def worker(cores: int, job: str, base: str) -> None:
             m.get(rid).unpersist(True)
 
     best = None
+    best_phases: dict[str, float] = {}
     for _ in range(REPEATS):
+        phases: dict[str, float] = {}
         t0 = time.time()
         rec = _records()
+        phases["records"] = time.time() - t0
         if job == "link":
             n_links = link_table(rec, spine, crits, "transcripts").count()
+            phases["link_count"] = time.time() - t0 - sum(phases.values())
         else:
             spine0 = rec.limit(0).select(
                 F.col("EventId").alias("EntityId"),
@@ -293,6 +297,7 @@ def worker(cores: int, job: str, base: str) -> None:
             unlinked = rec.join(
                 linked.select("EventId"), "EventId", "left_anti"
             ).localCheckpoint(eager=True)
+            phases["probe_anti"] = time.time() - t0 - sum(phases.values())
             new_spine, _ = form_entities(
                 unlinked,
                 crits,
@@ -302,6 +307,7 @@ def worker(cores: int, job: str, base: str) -> None:
                 order_col="conv_id",
             )
             new_spine = new_spine.localCheckpoint(eager=True)
+            phases["form_entities"] = time.time() - t0 - sum(phases.values())
             # the fresh spine is the same order of magnitude as the
             # unlinked records — let AQE pick the join strategy instead
             # of forcing 3 serial driver-side broadcast builds
@@ -309,8 +315,11 @@ def worker(cores: int, job: str, base: str) -> None:
                 unlinked, new_spine, crits, "transcripts", broadcast_spine=None
             )
             n_links = linked.unionByName(relink).count()
+            phases["relink_count"] = time.time() - t0 - sum(phases.values())
         dt = time.time() - t0
-        best = dt if best is None or dt < best else best
+        if best is None or dt < best:
+            best = dt
+            best_phases = {k: round(v, 3) for k, v in phases.items()}
         _cleanup()
 
     out = {
@@ -320,6 +329,7 @@ def worker(cores: int, job: str, base: str) -> None:
         "linkage_sec": round(best, 3),
         "linked_records_per_sec": round(n_links / best, 1),
         "turns_per_sec": round(n_turns / best, 1),
+        "phases": best_phases,
     }
     if n_spine is not None:
         out["n_spine"] = n_spine
@@ -357,7 +367,12 @@ def _run(cores: int, job: str, base: str) -> dict:
     # identical engine code (git fingerprint in the key).
     cache_path = Path(DATA_BASE) / "results.json"
     cache = json.loads(cache_path.read_text()) if cache_path.exists() else {}
-    key = f"{job}:{cores}:{Path(base).name}:sp{_shuffle_partitions(cores)}:{_code_fingerprint()}"
+    # REPEATS is in the key so a single-rep probe can never masquerade
+    # as a best-of-3 gate cell (or vice versa) after a code change
+    key = (
+        f"{job}:{cores}:{Path(base).name}:sp{_shuffle_partitions(cores)}"
+        f":r{REPEATS}:{_code_fingerprint()}"
+    )
     if key in cache:
         return cache[key]
     # Heap: 24g per level; the 32-core level gets 32g — on a real cluster
@@ -440,8 +455,12 @@ def main() -> None:
     fp = _code_fingerprint()
     sens_rows = []
     for job, cores, corpus in [("full", 2, "c1600000x4"), ("full", 8, "c1600000x4")]:
-        fixed = cache.get(f"{job}:{cores}:{corpus}:sp64:{fp}")
-        percore = cache.get(f"{job}:{cores}:{corpus}:sp{cores}:{fp}")
+        fixed = cache.get(f"{job}:{cores}:{corpus}:sp64:r{REPEATS}:{fp}") or cache.get(
+            f"{job}:{cores}:{corpus}:sp64:{fp}"
+        )
+        percore = cache.get(
+            f"{job}:{cores}:{corpus}:sp{cores}:r{REPEATS}:{fp}"
+        ) or cache.get(f"{job}:{cores}:{corpus}:sp{cores}:{fp}")
         if fixed and percore:
             sens_rows.append(
                 f"| {job}@{cores} ({corpus}) | {percore['linkage_sec']} | "

@@ -3,9 +3,14 @@ linkage via foreachBatch — availableNow end-to-end over parquet dirs."""
 
 from pyspark.sql import functions as F
 
+import pytest
+
 from spinebasedrecordlinkage_jl_spark.config import ApproxMatch, LinkageCriteria
 from spinebasedrecordlinkage_jl_spark.streaming.dedup import stream_exact_dedup
-from spinebasedrecordlinkage_jl_spark.streaming.linkage import stream_link_to_spine
+from spinebasedrecordlinkage_jl_spark.streaming.linkage import (
+    stream_link_and_form,
+    stream_link_to_spine,
+)
 
 DOC_SCHEMA = "doc_id long, text string"
 
@@ -142,3 +147,72 @@ def test_stream_spine_refresh_links_new_entities(spark, tmp_path):
     start()  # same checkpoint dir: only the new file is processed
     all_links = {lk for s in results.values() for lk in s}
     assert all_links == {("t", 3, 200, 1)}
+
+
+def test_stream_link_and_form_entities_across_batches(spark, tmp_path):
+    """Batch 1: john links to the existing spine; ada+adda (fuzzy twins)
+    form ONE new entity inside the batch. Batch 2: another ada record
+    links to the entity formed in batch 1 without any external refresh."""
+    spine = spark.createDataFrame(
+        [(100, 100, "john", "smith")],
+        "EntityId long, spine_seq long, firstname string, lastname string",
+    )
+    crits = [
+        LinkageCriteria(
+            id=1, tablename="t", exactmatch={"lastname": "lastname"},
+            approxmatch=(ApproxMatch("firstname", "firstname", "levenshtein", 0.35),),
+        ),
+    ]
+    schema = "EventId long, firstname string, lastname string"
+    in_dir = str(tmp_path / "records")
+    # batch 1 (one file): a spine hit + two fuzzy twins with no entity
+    spark.createDataFrame(
+        [(1, "john", "smith"), (2, "ada", "lovelace"), (3, "adda", "lovelace")],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    # batch 2 (second file): matches the entity batch 1 must have formed
+    spark.createDataFrame([(4, "ada", "lovelace")], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    links: dict[int, set] = {}
+    spine_rows: dict[int, list] = {}
+
+    def links_sink(df, epoch_id):
+        links.setdefault(epoch_id, set()).update(tuple(r) for r in df.collect())
+
+    def spine_sink(df, epoch_id):
+        spine_rows.setdefault(epoch_id, []).extend(df.collect())
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in_dir)
+    q = stream_link_and_form(
+        stream, spine, crits, "t", links_sink, spine_sink,
+        checkpoint_dir=str(tmp_path / "ck"),
+        construct_entityid_from=["firstname", "lastname"],
+        spine_columns=["EntityId", "firstname", "lastname"],
+        order_col="EventId",
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(180)
+
+    all_links = {lk for s in links.values() for lk in s}
+    by_event = {e: ent for (_, e, ent, _) in all_links}
+    assert by_event[1] == 100  # spine hit
+    # the fuzzy twins share one NEW entity, formed inside batch 1
+    assert by_event[2] == by_event[3] != 100
+    # batch 2's record linked to that same entity — state carried across
+    assert by_event[4] == by_event[2]
+    # exactly one new spine row was emitted, in the first batch
+    new_rows = [r for rows in spine_rows.values() for r in rows]
+    assert len(new_rows) == 1 and new_rows[0]["EntityId"] == by_event[2]
+    # representative = first record in order_col order (ada, EventId 2)
+    assert new_rows[0]["firstname"] == "ada"
+
+
+def test_stream_link_and_form_requires_spine_or_refresh(spark, tmp_path):
+    with pytest.raises(ValueError, match="spine_refresh"):
+        stream_link_and_form(
+            None, None, [], "t", lambda d, e: None, lambda d, e: None,
+            checkpoint_dir=str(tmp_path / "ck"),
+            construct_entityid_from=["a"], spine_columns=["EntityId", "a"],
+        )
