@@ -25,6 +25,9 @@ localCheckpoint so the plan does not grow exponentially.
 
 from __future__ import annotations
 
+import os as _os
+import time as _time
+
 from pyspark import InheritableThread
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -490,7 +493,10 @@ def form_entities(
     gs_cols = [F.coalesce(F.col(c), F.lit("\x00")) for c in global_cols]
     # one blocking job: the distinct shuffle; everything downstream
     # (audit AND edge generation) reads the cached result
+    _t0 = _time.time()
     sigs_rel = eligible.select(*global_cols).distinct().localCheckpoint(eager=True)
+    if _os.environ.get("SPINELINK_CC_DEBUG") == "1":
+        print(f"[form] signature contraction: {_time.time() - _t0:.2f}s", flush=True)
 
     # Node-id collision audit over the LINEAR node population (see the
     # node-id note at the top): one aggregation job on the contracted
@@ -599,45 +605,78 @@ def form_entities(
     # merging them through the bare signature node would diverge from
     # pairwise semantics (e.g. identical records whose only complete
     # criterion fails its fuzzy threshold on a null: missing has distance
-    # 1.0, distances.jl:15-16). The final grouping key is a (flag, id)
-    # struct so a singleton's EventId can never alias a component's
-    # 64-bit node id (they live in different hash populations; only this
-    # ONE record-level shuffle pays the struct-key cost).
-    comp_key = F.when(
-        F.col("component").isNotNull(),
-        F.struct(F.lit(0).alias("s"), F.col("component").alias("v")),
-    ).otherwise(F.struct(F.lit(1).alias("s"), F.col("EventId").alias("v")))
-    members = (
-        eligible_g.join(comp.withColumnRenamed("id", "_gs"), "_gs", "left")
-        .withColumn("component", comp_key)
-        .drop("_gs")
-    )
-
+    # 1.0, distances.jl:15-16). Component keys are (flag, id) structs so
+    # a singleton's EventId can never alias a component's 64-bit node id
+    # (they live in different hash populations).
+    #
     # Representative record per component: first in natural-key order
     # (the reference's spine row carries the FIRST record's values —
     # append_row_to_spine! copies the appending row, runlinkage.jl:283-294
     # — and 'first' in a distributed scan is defined by the natural key,
-    # not file order). EventId breaks any remaining tie deterministically.
-    from pyspark.sql import Window
-
-    order = (
-        [F.col(order_col).asc(), F.col("EventId").asc()]
-        if order_col and order_col in members.columns
-        else [F.col("EventId").asc()]
+    # not file order; EventId breaks any remaining tie). Chosen in
+    # SIGNATURE space as a two-level min(struct) — (1) per signature, the
+    # ONLY record-level pass, a hash aggregation whose map-side combine
+    # shrinks the shuffle to ~|signatures| rows; (2) per component over
+    # the signature minima, signature-level — instead of a row_number
+    # window that shuffled AND sorted every record on a struct key
+    # (measured ~70% of form_entities wall time on the 208M-turn
+    # bootstrap). min(struct) ordering equals the window's
+    # asc-nulls-first: null fields sort first.
+    rep_cols = [c for c in spine_columns if c != "EntityId" and c in eligible.columns]
+    # the representative's columns exposed to entity_id_expr: the spine
+    # columns plus construct_entityid_from (the documented contract)
+    carry_cols = list(
+        dict.fromkeys(
+            rep_cols + [c for c in construct_entityid_from if c in eligible.columns]
+        )
     )
-    w = Window.partitionBy("component").orderBy(*order)
-    reps = members.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    order_fields = (
+        [F.col(order_col).alias("_o")]
+        if order_col and order_col in eligible.columns
+        else []
+    )
+    m_struct = F.struct(
+        *order_fields,
+        F.col("EventId").alias("_e"),
+        *[F.col(c).alias(c) for c in carry_cols],
+    )
+    comp_g = comp.withColumnRenamed("id", "_gs")
+    comp_struct = F.struct(F.lit(0).alias("s"), F.col("component").alias("v"))
+    sig_first = eligible_g.groupBy("_gs").agg(F.min(m_struct).alias("_m"))
+    in_comp = sig_first.join(comp_g, "_gs", "inner")
+    rep_rows = (
+        in_comp.select(comp_struct.alias("_component"), "_m")
+        .groupBy("_component")
+        .agg(F.min("_m").alias("_m"))
+        .select(
+            "_component",
+            F.col("_m._e").alias("_rep_event"),
+            *[F.col(f"_m.{c}").alias(c) for c in carry_cols],
+        )
+    )
+    # Records of a no-component signature stay PER-RECORD singletons (the
+    # pairwise-semantics note above): each becomes its own spine row. The
+    # no-component signature set is expected tiny (only fuzzy-only-
+    # complete signatures can miss comp — every exact-complete signature
+    # at least self-loops), so AQE broadcasts the semi-join probe and the
+    # record side never shuffles in the common case.
+    sig_out = sig_first.join(comp_g.select("_gs"), "_gs", "left_anti").select("_gs")
+    single_rows = eligible_g.join(sig_out, "_gs", "left_semi").select(
+        F.struct(F.lit(1).alias("s"), F.col("EventId").alias("v")).alias("_component"),
+        F.col("EventId").alias("_rep_event"),
+        *[F.col(c) for c in carry_cols],
+    )
+    rep_rows = rep_rows.unionByName(single_rows)
 
     entity_id = (
         F.xxhash64(*[F.col(c) for c in construct_entityid_from])
         if entity_id_expr is None
         else entity_id_expr
     )
-    rep_cols = [c for c in spine_columns if c != "EntityId" and c in reps.columns]
-    new_spine = reps.select(
+    new_spine = rep_rows.select(
         entity_id.alias("EntityId"),
-        F.col("EventId").alias("spine_seq"),
-        F.col("component").alias("_component"),
+        F.col("_rep_event").alias("spine_seq"),
+        "_component",
         *[F.col(c) for c in rep_cols],
     )
 
@@ -652,6 +691,18 @@ def form_entities(
             crit_id if crit_id is not None else F.lit(None)
         )
 
+    # per-record membership — lazy: only callers that consume the links
+    # frame pay this record-level join (the production relink path uses
+    # its own link_table pass and never executes it)
+    members = eligible_g.join(
+        in_comp.select("_gs", comp_struct.alias("component")), "_gs", "left"
+    ).withColumn(
+        "component",
+        F.coalesce(
+            F.col("component"),
+            F.struct(F.lit(1).alias("s"), F.col("EventId").alias("v")),
+        ),
+    )
     links = (
         members.join(
             new_spine.select("_component", "EntityId"),

@@ -155,3 +155,36 @@ def test_match_pairs_nodes_stay_primitive_long(spark):
     for edges in (match_pairs(records, fuzzy), exact_key_edges(records, exact)):
         assert isinstance(edges.schema["src"].dataType, LongType), edges.schema
         assert isinstance(edges.schema["dst"].dataType, LongType), edges.schema
+
+
+def test_form_entities_spine_has_no_record_window(spark):
+    """The new-spine representative is a two-level min(struct) in
+    signature space — a row_number window over the full record relation
+    (shuffle + sort of every record on a struct key) must never reappear
+    in the spine plan; the per-signature pass must be a partial-
+    aggregatable HashAggregate."""
+    from spinebasedrecordlinkage_jl_spark.operators.spine import form_entities
+
+    records = spark.createDataFrame(
+        [(1, "c1", "ada", "l"), (2, "c2", "adda", "l"), (3, "c3", "bob", "m")],
+        "EventId long, conv_id string, firstname string, lastname string",
+    )
+    crits = [
+        LinkageCriteria(
+            id=1,
+            tablename="t",
+            exactmatch={"lastname": "lastname"},
+            approxmatch=(ApproxMatch("firstname", "firstname", "levenshtein", 0.5),),
+        )
+    ]
+    new_spine, _links = form_entities(
+        records,
+        crits,
+        construct_entityid_from=["firstname", "lastname"],
+        spine_columns=["EntityId", "firstname", "lastname"],
+        tablename="t",
+        order_col="conv_id",
+    )
+    plan = _plan(new_spine)
+    assert "Window" not in plan, plan
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan, plan
