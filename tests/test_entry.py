@@ -39,11 +39,23 @@ def _rows_to_set(cols, rows):
 
 ORACLE_NAMES = sorted(entry_mod.oracle_sql().keys())
 
+#: Queries deliberately without a SQL twin (results come from numpy
+#: codecs DuckDB cannot run); each must carry its own pytest pinning
+#: the semantics (tests/test_media_codecs.py for image_dhash_pairs).
+ROWS_ONLY = {"image_dhash_pairs"}
+
 
 def test_every_query_has_an_oracle():
-    """No rows-only entries — every registry query is value-hash
-    verifiable against DuckDB."""
-    assert sorted(entry_mod.queries().keys()) == ORACLE_NAMES
+    """Every registry query is value-hash verifiable against DuckDB,
+    except the explicit ROWS_ONLY allowlist."""
+    assert sorted(set(entry_mod.queries().keys()) - ROWS_ONLY) == ORACLE_NAMES
+    assert ROWS_ONLY <= set(entry_mod.queries().keys())
+
+
+@pytest.mark.parametrize("name", sorted(ROWS_ONLY))
+def test_rows_only_query_runs(spark, name):
+    df = entry_mod.queries()[name](spark, SF_DIR)
+    assert df.count() >= 0
 
 
 @pytest.mark.parametrize("name", ORACLE_NAMES)
