@@ -49,6 +49,44 @@ def add_block_key(
     return out
 
 
+def blocking_profile(
+    records: DataFrame,
+    block_on: list[Column] | list[str],
+) -> DataFrame:
+    """Pre-join diagnostics of a blocking scheme: per log2-size bucket,
+    how many blocks exist, how many records they hold, how many
+    candidate pairs they would emit, and the largest block in the
+    bucket.
+
+    Cost is ONE shuffle (the groupBy on the block key) plus a tiny
+    aggregate over the distinct block sizes — no pair is ever
+    materialized, so profiling stays linear even when the pair space is
+    quadratic. This is the step to run BEFORE ``candidate_pairs`` at
+    scale: the top bucket's ``n_cand_pairs`` tells you whether the join
+    is feasible and where to set ``max_block_size`` / salt_buckets,
+    instead of discovering a degenerate block from a dying stage.
+
+    Null block keys are excluded (they never pair — SQL ``=`` is
+    null-rejecting, runlinkage.jl:378-385 parity with the linkage path).
+    """
+    block_cols = [F.col(c) if isinstance(c, str) else c for c in block_on]
+    names = [f"_bk{i}" for i in range(len(block_cols))]
+    base = records.select(*[c.alias(n) for c, n in zip(block_cols, names)])
+    for n in names:
+        base = base.filter(F.col(n).isNotNull())
+    sizes = base.groupBy(*names).agg(F.count(F.lit(1)).alias("block_size"))
+    return sizes.groupBy(
+        F.floor(F.log2("block_size")).cast("long").alias("size_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum("block_size").alias("n_records"),
+        F.sum(F.expr("block_size * (block_size - 1) / 2"))
+        .cast("long")
+        .alias("n_cand_pairs"),
+        F.max("block_size").alias("max_block_size"),
+    )
+
+
 def candidate_pairs(
     records: DataFrame,
     block_on: list[Column] | list[str],

@@ -65,3 +65,28 @@ def test_block_purge_audit(spark):
     assert got == {(100, 101)}  # hot block dropped entirely
     audit = purged.collect()
     assert len(audit) == 1 and audit[0]["_bsize"] == 20  # ...and accounted for
+
+
+def test_blocking_profile_buckets_and_pair_mass(spark):
+    from spinebasedrecordlinkage_jl_spark.operators.blocking import blocking_profile
+
+    # blocks: "hot"=9 records (bucket 3), "warm"=3 (bucket 1),
+    # two singletons (bucket 0), one null key (excluded entirely)
+    rows = (
+        [(i, "x", "hot") for i in range(9)]
+        + [(20 + i, "x", "warm") for i in range(3)]
+        + [(30, "x", "s1"), (31, "x", "s2"), (32, "x", None)]
+    )
+    df = _records(spark, rows)
+    prof = {r["size_bucket"]: r for r in blocking_profile(df, ["k"]).collect()}
+
+    assert set(prof) == {0, 1, 3}
+    assert prof[3]["n_blocks"] == 1
+    assert prof[3]["n_records"] == 9
+    assert prof[3]["n_cand_pairs"] == 36  # 9*8/2
+    assert prof[3]["max_block_size"] == 9
+    assert prof[1]["n_cand_pairs"] == 3
+    assert prof[0]["n_blocks"] == 2 and prof[0]["n_cand_pairs"] == 0
+    # total candidate mass equals what candidate_pairs would emit unpurged
+    pairs, _ = candidate_pairs(df, block_on=["k"], max_block_size=None)
+    assert sum(r["n_cand_pairs"] for r in prof.values()) == pairs.count()
