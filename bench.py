@@ -53,6 +53,9 @@ EXTENDED = [
     "repetition_stats",
     "line_dedup",
     "vocab_topk",
+    "blocking_profile",
+    "media_decode",
+    "image_dhash_pairs",
 ]
 
 
