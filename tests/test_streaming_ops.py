@@ -216,3 +216,77 @@ def test_stream_link_and_form_requires_spine_or_refresh(spark, tmp_path):
             checkpoint_dir=str(tmp_path / "ck"),
             construct_entityid_from=["a"], spine_columns=["EntityId", "a"],
         )
+
+
+def test_stream_neardup_pairs_across_batches(spark, tmp_path):
+    from spinebasedrecordlinkage_jl_spark.streaming.neardup import stream_neardup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again in the yard"
+    near = base.replace("yard", "yurd")  # few-shingle perturbation
+    far = "completely unrelated text about spark structured streaming state stores"
+    in_dir = str(tmp_path / "docs")
+    spark.createDataFrame([(1, base), (2, far)], DOC_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    spark.createDataFrame([(3, near), (4, base)], DOC_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    stream = spark.readStream.schema(DOC_SCHEMA).option("maxFilesPerTrigger", 1).parquet(in_dir)
+    out_dir = str(tmp_path / "out")
+    q = (
+        stream_neardup_pairs(stream, max_hamming=10)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = spark.read.parquet(out_dir).collect()
+    pairs = {(r["id_1"], r["id_2"]) for r in rows}
+    # near-dups found across AND within micro-batches; the unrelated doc
+    # never pairs
+    assert (1, 3) in pairs and (1, 4) in pairs and (3, 4) in pairs
+    assert not any(2 in p for p in pairs)
+    # identical docs: hamming 0, and every band agrees (4 bands at 64/16)
+    exact = [r for r in rows if (r["id_1"], r["id_2"]) == (1, 4)]
+    assert {r["hamming"] for r in exact} == {0}
+    assert len({r["band_idx"] for r in exact}) == 4
+
+
+def test_stream_neardup_hot_bucket_tombstone(spark, tmp_path):
+    from spinebasedrecordlinkage_jl_spark.streaming.neardup import stream_neardup_pairs
+
+    text = "identical duplicate heavy text that lands in one bucket every time"
+    in_dir = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, text) for i in range(1, 6)], DOC_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    # second batch arrives after the bucket went hot (cap=3)
+    spark.createDataFrame([(10, text), (11, text)], DOC_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    stream = spark.readStream.schema(DOC_SCHEMA).option("maxFilesPerTrigger", 1).parquet(in_dir)
+    out_dir = str(tmp_path / "out")
+    q = (
+        stream_neardup_pairs(stream, max_hamming=3, max_band_population=3)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = spark.read.parquet(out_dir).collect()
+    # population hits the cap at doc 4: docs 1-3 stored, pairs for doc 4
+    # emitted against them, then the bucket tombstones — docs 5, 10, 11
+    # emit nothing (bounded state instead of O(d^2) pair mass)
+    pairs = {(r["id_1"], r["id_2"]) for r in rows if r["band_idx"] == 0}
+    assert pairs == {(1, 2), (1, 3), (2, 3), (1, 4), (2, 4), (3, 4)}
+    assert not any(r["id_1"] in (5, 10, 11) or r["id_2"] in (5, 10, 11) for r in rows)
