@@ -1,5 +1,6 @@
 """Input sources: table readers + deterministic synthetic transcripts."""
 
+from .bucketed import plan_has_exchange, read_bucketed, write_bucketed
 from .readers import read_table, read_testdata
 from .transcripts import (
     EVENTS_TO_TRANSCRIPTS_SQL,
@@ -9,8 +10,11 @@ from .transcripts import (
 
 __all__ = [
     "EVENTS_TO_TRANSCRIPTS_SQL",
+    "plan_has_exchange",
+    "read_bucketed",
     "read_table",
     "read_testdata",
     "synthesize_transcripts",
     "transcripts_from_events",
+    "write_bucketed",
 ]
