@@ -5,8 +5,9 @@ The reference writes everything once at run end (spine at
 :179-203) and cannot resume. At 10^12-turn scale a run *must* be
 resumable mid-criteria, so after every table stage we persist the spine
 and accumulated links (Iceberg ``writeTo`` in production; parquet paths
-in the sandbox) plus a JSON manifest entry carrying per-stage lineage:
-row counts, per-criteria match counts, partition counts, and purged-block
+in the sandbox) plus a JSON manifest entry carrying per-stage AND
+per-partition lineage: row counts, per-criteria match counts, partition
+counts, per-partition row counts with a skew ratio, and purged-block
 audit numbers. Resume = read the manifest, load the last completed
 stage's tables, skip completed stages.
 """
@@ -35,6 +36,13 @@ class StageRecord:
     n_partitions_spine: int = 0
     n_partitions_links: int = 0
     purged_blocks: int = 0
+    #: rows per partition of the links frame at checkpoint time (keyed
+    #: by partition id) — the per-partition lineage that makes skew
+    #: visible in the manifest instead of only in the Spark UI
+    partition_rows_links: dict[str, int] = field(default_factory=dict)
+    #: max/mean of partition_rows_links — >3 means the next stage
+    #: inherits a hot partition and salting should be revisited
+    links_skew_ratio: float = 0.0
 
 
 class RunManifest:
@@ -89,16 +97,33 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
 def stage_metrics(spine: DataFrame, links: DataFrame) -> dict[str, Any]:
     """Per-stage lineage metrics recorded in the manifest (consumed by
     run_linkage after each checkpoint commit)."""
+    from pyspark.sql import functions as F
+
     by_crit = {
         str(r["CriteriaId"]): int(r["n"])
         for r in links.groupBy("CriteriaId").agg({"*": "count"})
         .withColumnRenamed("count(1)", "n")
         .collect()
     }
+    # per-partition lineage: row counts by physical partition at
+    # checkpoint time (= the files just written, one per partition).
+    # The groupBy is map-side only — spark_partition_id needs no shuffle
+    # to count within its own partition.
+    part_rows = {
+        str(r["pid"]): int(r["n"])
+        for r in links.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_links = sum(part_rows.values())
+    mean = n_links / len(part_rows) if part_rows else 0.0
+    skew = (max(part_rows.values()) / mean) if mean else 0.0
     return {
         "n_spine": spine.count(),
-        "n_links": links.count(),
+        "n_links": n_links,
         "links_by_criteria": by_crit,
         "n_partitions_spine": spine.rdd.getNumPartitions(),
         "n_partitions_links": links.rdd.getNumPartitions(),
+        "partition_rows_links": part_rows,
+        "links_skew_ratio": round(skew, 3),
     }

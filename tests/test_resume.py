@@ -104,3 +104,19 @@ def test_cross_table_spine_reuse(spark, tmp_path):
     for t, e in ents:
         by_table.setdefault(t, set()).add(e)
     assert by_table["ta"] == by_table["tb"]
+
+
+def test_manifest_carries_per_partition_lineage(spark, tmp_path):
+    cfg = _config(tmp_path, ["t1"])
+    run_linkage(spark, cfg, {"t1": _records(spark, "a")})
+    mf = json.loads(
+        (tmp_path / "run" / "checkpoints" / "manifest.json").read_text()
+    )
+    st = mf["stages"][-1]
+    # per-partition row counts sum to the stage's link count and the
+    # skew ratio is derived from them
+    assert st["partition_rows_links"]
+    assert sum(st["partition_rows_links"].values()) == st["n_links"]
+    n = len(st["partition_rows_links"])
+    mx = max(st["partition_rows_links"].values())
+    assert st["links_skew_ratio"] == round(mx / (st["n_links"] / n), 3)
