@@ -1,0 +1,118 @@
+"""Plan-shape guards: the physical plans behind the registry queries must
+stay the plans the 100-TB design argues for. These assertions inspect the
+formatted explain output (strategy names, scan schemas), not the data, so
+they catch a lost broadcast hint, an accidental row-at-a-time Python UDF,
+or a projection that stops reaching the parquet scan — regressions a
+row-count correctness gate can never see and a benchmark only sees as an
+unexplained slowdown.
+
+Registry callables that run iterative jobs eagerly (connected components,
+entity formation) are exercised end-to-end by tests/test_entry.py; here we
+sweep every registry plan for globally-forbidden nodes and pin the shape
+of the cheap, purely-lazy flagships.
+"""
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    """Formatted physical-plan string for a DataFrame (pre-execution)."""
+    try:
+        jvm = df.sparkSession._jvm
+        mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        return df._jdf.queryExecution().explainString(mode)
+    except Exception:
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    """name -> formatted plan for every registry query at sf0.001."""
+    out = {}
+    for name, fn in entry_mod.queries().items():
+        out[name] = _plan(fn(spark, SF_DIR))
+    return out
+
+
+#: Deliberate small-side cross joins: the brute-force ANN verifier joins a
+#: broadcast query set against every document (O(Q*N) by contract), and the
+#: decontamination operator probes a broadcast benchmark n-gram set the same
+#: way. BroadcastNestedLoopJoin is the *intended* strategy there; anywhere
+#: else it means an equi-join condition was lost.
+BNLJ_ALLOWED = {"ann_topk", "ann_recall", "decontaminate"}
+
+
+def test_no_cartesian_product_anywhere(plans):
+    """A CartesianProduct node means a join lost both its keys and its
+    broadcast hint — at 100 TB that is a non-terminating query."""
+    offenders = [n for n, p in plans.items() if "CartesianProduct" in p]
+    assert offenders == []
+
+
+def test_no_row_python_udf_anywhere(plans):
+    """BatchEvalPython is the row-at-a-time Python UDF operator — the
+    repo's contract is Arrow-vectorized kernels only (ArrowEvalPython,
+    FlatMapGroupsInPandas, MapInPandas are the sanctioned shapes)."""
+    offenders = [n for n, p in plans.items() if "BatchEvalPython" in p]
+    assert offenders == []
+
+
+def test_broadcast_nested_loop_only_where_deliberate(plans):
+    offenders = [
+        n
+        for n, p in plans.items()
+        if "BroadcastNestedLoopJoin" in p and n not in BNLJ_ALLOWED
+    ]
+    assert offenders == []
+
+
+def test_linkage_exact_pass_broadcasts_spine(plans):
+    """criteria_pass promises a broadcast-hash-join probe of the spine
+    (the spine is orders of magnitude smaller than the event table)."""
+    assert "BroadcastHashJoin" in plans["linkage_exact_pass"]
+    assert "SortMergeJoin" not in plans["linkage_exact_pass"]
+
+
+def test_token_counts_prunes_document_columns(plans):
+    """The documents scan must read only (doc_id, text): lang/source/
+    n_chars are pruned. A scan reading all columns for a 2-column
+    projection multiplies 100-TB scan bytes for nothing."""
+    plan = plans["token_counts"]
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read, plan
+    schema = read[0]
+    assert "text" in schema
+    for dropped in ("lang", "source", "n_chars"):
+        assert dropped not in schema, schema
+
+
+def test_aggregations_are_partial(plans):
+    """Group-counts must map-side combine: two HashAggregate nodes
+    (partial + final) around the key exchange."""
+    assert plans["validity_filter"].count("HashAggregate") >= 2
+
+
+def test_scan_filter_pushes_down(spark):
+    """A predicate on a raw parquet column must reach the scan as a
+    pushed filter, not a post-scan Filter over full row groups."""
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .filter(F.col("lang") == "en")
+        .select("doc_id")
+    )
+    plan = _plan(df)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed, plan
+    assert "lang" in pushed[0], pushed[0]
