@@ -12,6 +12,9 @@ from __future__ import annotations
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from .transcripts import TRANSCRIPT_SCHEMA
 
 TESTDATA_TABLES = (
     "region",
@@ -27,7 +30,12 @@ TESTDATA_TABLES = (
 )
 
 
-def read_table(spark: SparkSession, location: str, fmt: str | None = None) -> DataFrame:
+def read_table(
+    spark: SparkSession,
+    location: str,
+    fmt: str | None = None,
+    schema: StructType | None = None,
+) -> DataFrame:
     """Read an input table.
 
     ``location`` forms:
@@ -36,15 +44,40 @@ def read_table(spark: SparkSession, location: str, fmt: str | None = None) -> Da
     - ``*.csv`` / ``*.tsv``          -> header CSV scan, all-string columns
       (matching the reference's string-only comparison contract,
       runlinkage.jl:56)
+    - ``*.jsonl`` / ``*.ndjson`` / ``*.json`` -> newline-delimited JSON.
+      Pass ``schema``: without one Spark infers it by pre-scanning the
+      whole input — an extra full read of the corpus at scale. A missing
+      schema is accepted (tests, ad-hoc exploration) but is never the
+      production path.
+
+    ``schema``, when given, is applied to CSV/JSON scans (parquet and
+    Iceberg carry their own schemas).
     """
     if location.startswith("iceberg:"):
         return spark.read.format("iceberg").load(location[len("iceberg:") :])
     suffix = Path(location).suffix.lower()
     if fmt == "csv" or suffix in {".csv", ".tsv"}:
-        sep = "\t" if suffix == ".tsv" else ","
-        # inferSchema=False on purpose: everything compared is a string.
-        return spark.read.option("header", "true").option("sep", sep).csv(location)
+        reader = spark.read.option("header", "true").option(
+            "sep", "\t" if suffix == ".tsv" else ","
+        )
+        # no inferSchema on purpose: everything compared is a string.
+        return (reader.schema(schema) if schema is not None else reader).csv(location)
+    if fmt in {"json", "jsonl"} or suffix in {".json", ".jsonl", ".ndjson"}:
+        reader = spark.read.schema(schema) if schema is not None else spark.read
+        return reader.json(location)
     return spark.read.parquet(location)
+
+
+def read_transcripts(
+    spark: SparkSession, location: str, fmt: str | None = None
+) -> DataFrame:
+    """Read a transcripts table (the input_hint shape) from any supported
+    format, always under the explicit ``TRANSCRIPT_SCHEMA`` — JSONL ingest
+    never falls back to inference, and ``ts`` parses to a real timestamp.
+    Column order is normalized so downstream schema-sensitive consumers
+    (checkpoint round-trips, union with synthesized corpora) line up."""
+    df = read_table(spark, location, fmt=fmt, schema=TRANSCRIPT_SCHEMA)
+    return df.select(*[f.name for f in TRANSCRIPT_SCHEMA.fields])
 
 
 def read_testdata(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

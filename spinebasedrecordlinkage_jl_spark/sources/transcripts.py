@@ -29,6 +29,28 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+#: The input_hint table shape (BASELINE.json): one row per turn. Every
+#: ingest path — batch parquet, JSONL, the streaming reader — declares
+#: this schema explicitly so no format ever falls back to inference
+#: (JSON/CSV inference is a full pre-scan of the input at 100 TB).
+TRANSCRIPT_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("role", StringType()),
+        StructField("text", StringType()),
+        StructField("tool", StringType()),
+        StructField("ts", TimestampType()),
+    ]
+)
 
 # Name pools — indexed by hash, so the same id always gets the same name.
 _FIRST = ["john", "jane", "robert", "elizabeth", "mary", "david", "sarah", "michael",
