@@ -56,6 +56,7 @@ EXTENDED = [
     "blocking_profile",
     "media_decode",
     "image_dhash_pairs",
+    "semantic_dedup",
 ]
 
 

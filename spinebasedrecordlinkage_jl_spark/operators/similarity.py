@@ -254,48 +254,22 @@ def _ivf_cells_pandas_udf(cents: np.ndarray, cell_ids: np.ndarray, nprobe: int):
     return cells
 
 
-def ivf_topk(
-    corpus: DataFrame,
-    queries: DataFrame,
-    centroids: DataFrame,
-    k: int = 5,
-    nprobe: int = 2,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    exclude_self: bool = True,
-    assign_strategy: str = "auto",
-) -> DataFrame:
-    """IVF (inverted-file) approximate top-k: each corpus vector is
-    assigned to its nearest centroid cell, each query probes its
-    ``nprobe`` nearest cells, and exact cosine runs only on the probed
-    cells' members. Output schema identical to ``brute_force_topk``.
-
-    ``centroids`` is a small (cell_id, centroid) frame — from
-    :func:`sample_centroids` or an external k-means trainer. It is
-    collected once at plan-build time (a coarse quantizer is tiny by
-    construction: even 65k cells x 1k dims is ~0.5 GB, and typical
-    configs are kilobytes) and shipped to executors, so ASSIGNMENT IS
-    SHUFFLE-FREE — the only shuffles in the plan are the candidate join
-    on cell_id (query side broadcast) and the per-query top-k window.
-
-    ``assign_strategy``: ``"literal"`` evaluates the centroid dot
-    products as a per-row Catalyst array expression (pure JVM, codegen,
-    SQL-twin-friendly — right for small C*dim); ``"pandas"`` does one
-    BLAS matmul per Arrow batch (right for production cell counts);
-    ``"auto"`` picks pandas once C*dim exceeds 8192. Both use the same
-    round-to-6 + cell_id-ASC tie-break, so they agree exactly.
-    """
-    from pyspark.sql import Window
-
+def _cell_assigner(centroids: DataFrame, assign_strategy: str, caller: str):
+    """Collect a (cell_id, centroid) frame (tiny by construction — a
+    coarse quantizer) and build the shuffle-free nearest-cells assigner
+    shared by :func:`ivf_topk` and :func:`semantic_dedup`. Returns
+    ``(cents, probe_cells)`` where ``probe_cells(vec, n)`` yields the
+    ``n`` nearest cell ids as an ``array<long>`` column — round-to-6
+    cosine, cell_id-ASC tie-break, identical in both strategies (and in
+    the SQL oracle twins)."""
     cents = sorted(
         ((r["cell_id"], list(r["centroid"])) for r in centroids.collect()),
         key=lambda t: t[0],
     )
     if not cents:
-        raise ValueError("ivf_topk: centroids frame is empty")
+        raise ValueError(f"{caller}: centroids frame is empty")
     n_cells = len(cents)
     dim = len(cents[0][1])
-    nprobe = min(nprobe, n_cells)
     if assign_strategy == "auto":
         assign_strategy = "pandas" if n_cells * dim > 8192 else "literal"
     if assign_strategy not in ("literal", "pandas"):
@@ -332,6 +306,45 @@ def ivf_topk(
             return F.transform(
                 F.slice(F.array_sort(scored), 1, n), lambda s: s["cell_id"]
             )
+
+    return cents, probe_cells
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+    assign_strategy: str = "auto",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: each corpus vector is
+    assigned to its nearest centroid cell, each query probes its
+    ``nprobe`` nearest cells, and exact cosine runs only on the probed
+    cells' members. Output schema identical to ``brute_force_topk``.
+
+    ``centroids`` is a small (cell_id, centroid) frame — from
+    :func:`sample_centroids` or an external k-means trainer. It is
+    collected once at plan-build time (a coarse quantizer is tiny by
+    construction: even 65k cells x 1k dims is ~0.5 GB, and typical
+    configs are kilobytes) and shipped to executors, so ASSIGNMENT IS
+    SHUFFLE-FREE — the only shuffles in the plan are the candidate join
+    on cell_id (query side broadcast) and the per-query top-k window.
+
+    ``assign_strategy``: ``"literal"`` evaluates the centroid dot
+    products as a per-row Catalyst array expression (pure JVM, codegen,
+    SQL-twin-friendly — right for small C*dim); ``"pandas"`` does one
+    BLAS matmul per Arrow batch (right for production cell counts);
+    ``"auto"`` picks pandas once C*dim exceeds 8192. Both use the same
+    round-to-6 + cell_id-ASC tie-break, so they agree exactly.
+    """
+    from pyspark.sql import Window
+
+    cents, probe_cells = _cell_assigner(centroids, assign_strategy, caller="ivf_topk")
+    nprobe = min(nprobe, len(cents))
 
     def with_cells(df: DataFrame, idname: str, n: int) -> DataFrame:
         return df.select(
@@ -387,3 +400,102 @@ def neardup_pairs(
         .filter(F.col("sim") >= threshold)
         .select("id_1", "id_2", "sim")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign_strategy: str = "auto",
+    max_cell_population: int | None = 100_000,
+    return_purged: bool = False,
+):
+    """Semantic (embedding-space) deduplication, the SemDeDup shape
+    (Abbas et al. 2023, arXiv:2303.09540): assign every vector to its
+    nearest coarse-quantizer cell, find cosine-similar pairs WITHIN each
+    cell only, take connected components over the pair graph, keep one
+    canonical member per component.
+
+    Output: (``id_col``, cluster_id, is_canonical) — the same decision
+    frame as :func:`...operators.dedup.neardup_clusters`; filter
+    ``is_canonical = 1`` to materialize the semantically deduplicated
+    corpus. ``cluster_id`` is the component's minimum id; every vector
+    with no surviving edge is its own singleton cluster. Requires an
+    integral ``id_col`` (the CC node id).
+
+    100 TB shape: centroid assignment is SHUFFLE-FREE (the quantizer is
+    collected once and shipped with the task — :func:`_cell_assigner`);
+    the only data shuffles are the self-join on cell_id and the CC
+    rounds, and pair cost is sum(|cell|^2) instead of |corpus|^2 — the
+    quantizer's cell granularity is the knob that bounds it.
+
+    ``max_cell_population``: a cell of d members emits d^2/2 join rows,
+    and a degenerate quantizer (one centroid attracting everything) is
+    the embedding-space twin of a hot LSH band. Cells above the cap are
+    purged BEFORE the self-join — the same explicit, countable
+    degradation contract as ``minhash_lsh_pairs``'s
+    ``max_band_population``; purged members become singleton clusters.
+    ``None`` disables the guard. ``return_purged=True`` returns
+    ``(clusters, purged | None)`` with the audit frame
+    ``(cell_id, cell_population)`` of dropped cells.
+    """
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    from .spine import connected_components
+
+    if not isinstance(
+        df.schema[id_col].dataType, (ByteType, ShortType, IntegerType, LongType)
+    ):
+        raise ValueError(
+            f"semantic_dedup: {id_col} must be integral (it is the CC node id); "
+            "re-key or pre-hash string ids with a collision audit"
+        )
+    _, probe_cells = _cell_assigner(centroids, assign_strategy, caller="semantic_dedup")
+
+    assigned = df.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        probe_cells(F.col(vec_col), 1)[0].alias("cell_id"),
+    )
+    purged = None
+    if max_cell_population is not None:
+        sizes = assigned.groupBy("cell_id").agg(F.count("*").alias("cell_population"))
+        purged = sizes.filter(F.col("cell_population") > max_cell_population)
+        paired_side = assigned.join(
+            F.broadcast(purged.select("cell_id")), "cell_id", "left_anti"
+        )
+    else:
+        paired_side = assigned
+
+    a = paired_side.select(
+        F.col("cell_id").alias("_cell_1"),
+        F.col("_id").alias("id_1"),
+        F.col("_vec").alias("_v1"),
+    )
+    b = paired_side.select(
+        F.col("cell_id").alias("_cell_2"),
+        F.col("_id").alias("id_2"),
+        F.col("_vec").alias("_v2"),
+    )
+    edges = (
+        a.join(b, (F.col("_cell_1") == F.col("_cell_2")) & (F.col("id_1") < F.col("id_2")))
+        .filter(F.round(cosine_similarity(F.col("_v1"), F.col("_v2")), 6) >= threshold)
+        .select(F.col("id_1").alias("src"), F.col("id_2").alias("dst"))
+    )
+    comp = connected_components(edges).withColumnRenamed("id", "_cid")
+    clusters = (
+        assigned.select("_id")
+        .join(comp, F.col("_id") == F.col("_cid"), "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col("component"), F.col("_id")).alias("cluster_id"),
+        )
+        .withColumn(
+            "is_canonical", (F.col(id_col) == F.col("cluster_id")).cast("int")
+        )
+    )
+    if return_purged:
+        return clusters, purged
+    return clusters

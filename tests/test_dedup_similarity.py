@@ -382,3 +382,60 @@ def test_ivf_empty_centroids_raises(clustered_vectors):
     df = clustered_vectors
     with pytest.raises(ValueError, match="centroids frame is empty"):
         S.ivf_topk(df, df.limit(1), S.sample_centroids(df.limit(0)), k=1)
+
+
+def test_semantic_dedup_collapses_tight_clusters(clustered_vectors):
+    """10 tight clusters at threshold 0.99: members connect to their
+    cluster mates (cosine ~1 inside a cluster, ~0 across), never to
+    another true cluster. A sampled quantizer may split one true
+    cluster across two cells (two sampled centroids from the same
+    cluster), so assert structure, not an exact count."""
+    df = clustered_vectors
+    cents = S.sample_centroids(df, stride=19)
+    out = S.semantic_dedup(df, cents, threshold=0.99)
+    rows = out.collect()
+    assert len(rows) == 200 and len({r["vec_id"] for r in rows}) == 200
+    # massive collapse, but never across true clusters
+    n_clusters = len({r["cluster_id"] for r in rows})
+    assert 10 <= n_clusters <= 25, n_clusters
+    for r in rows:
+        assert r["cluster_id"] % 10 == r["vec_id"] % 10  # same true cluster
+    canon = [r for r in rows if r["is_canonical"] == 1]
+    assert len(canon) == n_clusters
+    assert all(r["vec_id"] == r["cluster_id"] for r in canon)
+
+
+def test_semantic_dedup_hot_cell_guard(spark):
+    """A degenerate quantizer (every vector in one cell) with a cap:
+    the hot cell is purged BEFORE the self-join, members degrade to
+    singletons, and the audit frame names the cell. Without the cap the
+    same input collapses to one cluster."""
+    rows = [(int(i), [1.0, 2.0, 3.0, 4.0]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = S.sample_centroids(df, stride=1000)  # one centroid: vec_id 0
+    guarded, purged = S.semantic_dedup(
+        df, cents, threshold=0.5, max_cell_population=50, return_purged=True
+    )
+    assert guarded.filter(F.col("is_canonical") == 1).count() == 60  # all singletons
+    audit = purged.collect()
+    assert len(audit) == 1 and audit[0]["cell_population"] == 60
+    unguarded = S.semantic_dedup(df, cents, threshold=0.5, max_cell_population=None)
+    assert unguarded.filter(F.col("is_canonical") == 1).count() == 1
+    assert unguarded.filter(F.col("cluster_id") == 0).count() == 60
+
+
+def test_semantic_dedup_assign_strategies_agree(clustered_vectors):
+    df = clustered_vectors
+    cents = S.sample_centroids(df, stride=19)
+    as_set = lambda d: {tuple(r) for r in d.collect()}
+    lit = S.semantic_dedup(df, cents, threshold=0.99, assign_strategy="literal")
+    pan = S.semantic_dedup(df, cents, threshold=0.99, assign_strategy="pandas")
+    assert as_set(lit) == as_set(pan)
+
+
+def test_semantic_dedup_rejects_string_ids(spark):
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0])], "vec_id string, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="must be integral"):
+        S.semantic_dedup(df, S.sample_centroids(df.limit(0)))
