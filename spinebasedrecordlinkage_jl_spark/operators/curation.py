@@ -36,6 +36,12 @@ entry_queries.py so the DuckDB oracle verifies it value-for-value:
 - ``vocab_topk``: corpus-wide token frequencies, top k — map-side
   combinable count + two-level distinct, then TakeOrdered (no full
   sort materialization).
+- ``pack_sequences``: GPT-style concatenate-and-chunk packing — each
+  document's global token offset and training-window span via a
+  two-level distributed prefix sum (per-id-range-bucket cumsum, then a
+  sequential scan over only the n_buckets bucket totals). The naive
+  single ``Window.orderBy`` would serialize the corpus through one
+  task.
 """
 
 from __future__ import annotations
@@ -388,4 +394,99 @@ def vocab_topk(
         )
         .orderBy(F.desc("n_occurrences"), F.asc("token"))
         .limit(k)
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    context_len: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """GPT-style sequence packing (concatenate-and-chunk): lay every
+    document's tokens end-to-end in ``id_col`` order and cut the stream
+    into ``context_len``-token training windows. Output per document:
+    (``id_col``, ``tokens_col``, tok_offset, bin_first, bin_last) —
+    its exclusive global token offset and the first/last window it
+    lands in (a document may straddle windows; bin_last - bin_first
+    is how many boundaries it crosses). Zero-token documents are
+    dropped (they occupy no window). Ids must be unique and integral —
+    they ARE the deterministic packing order.
+
+    100 TB shape: the global running sum is a two-level scan, the
+    distributed-prefix-sum pattern. Level 1 partitions the corpus into
+    order-preserving id-range buckets and cumsums WITHIN each bucket (a
+    window partitioned by bucket — parallel across buckets, one shuffle).
+    Level 2 prefix-sums the per-bucket totals — ``n_buckets`` rows, so
+    the only inherently sequential window runs over a frame the size of
+    the parallelism knob, not the corpus. A naive
+    ``Window.orderBy(id)`` with no partition would serialize the whole
+    corpus through one task. One tiny scalar agg (max id) runs at
+    plan-build time to size the range buckets, the same
+    plan-build-time-collect contract as ``ivf_topk``'s quantizer.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    if context_len <= 0:
+        raise ValueError(f"context_len must be positive, got {context_len}")
+    if not isinstance(
+        df.schema[id_col].dataType, (ByteType, ShortType, IntegerType, LongType)
+    ):
+        raise ValueError(
+            f"pack_sequences: {id_col} must be integral (it is the packing order)"
+        )
+    docs = df.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(tokens_col).cast("long").alias("_tok"),
+    ).filter(F.col("_tok") > 0)
+
+    bounds = docs.agg(F.min("_id"), F.max("_id")).first()
+    if bounds[0] is None:
+        return docs.select(
+            F.col("_id").alias(id_col),
+            F.col("_tok").alias(tokens_col),
+            F.col("_tok").alias("tok_offset"),
+            F.col("_tok").alias("bin_first"),
+            F.col("_tok").alias("bin_last"),
+        )
+    lo, hi = int(bounds[0]), int(bounds[1])
+    span = hi - lo + 1
+    n_buckets = max(1, min(n_buckets, span))
+    # order-preserving equal-width id-range bucket; ids need not be dense
+    # (skew across buckets only skews level-1 parallelism, not results)
+    bucket = F.floor(((F.col("_id") - lo) * n_buckets) / span).cast("long")
+    docs = docs.withColumn("_bucket", bucket)
+
+    w_intra = (
+        Window.partitionBy("_bucket")
+        .orderBy("_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    intra = docs.withColumn("_cum", F.sum("_tok").over(w_intra))
+
+    totals = docs.groupBy("_bucket").agg(F.sum("_tok").alias("_btot"))
+    w_prefix = (
+        # n_buckets rows: the one sequential scan runs over a tiny frame
+        Window.partitionBy(F.lit(0))
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefixes = totals.select(
+        "_bucket", F.coalesce(F.sum("_btot").over(w_prefix), F.lit(0)).alias("_pre")
+    )
+
+    offset = F.col("_pre") + F.col("_cum") - F.col("_tok")
+    return (
+        intra.join(F.broadcast(prefixes), "_bucket")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_tok").alias(tokens_col),
+            offset.alias("tok_offset"),
+            F.floor(offset / context_len).cast("long").alias("bin_first"),
+            F.floor((offset + F.col("_tok") - 1) / context_len)
+            .cast("long")
+            .alias("bin_last"),
+        )
     )

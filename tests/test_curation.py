@@ -172,3 +172,58 @@ def test_quality_filter_terminal_punct(spark):
     )
     bad = C.quality_filter(df2, min_tokens=5, require_terminal_punct=True).collect()[0]
     assert not bad["keep"] and bad["reasons"] == "no_terminal_punct"
+
+
+def test_pack_sequences_contiguous_and_exact(spark):
+    """Offsets are the exact exclusive running sum in id order; windows
+    tile the token stream with no gap or overlap."""
+    rows = [(i, f"d{i}", (i * 37) % 90 + 1) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_tokens long")
+    out = sorted(
+        C.pack_sequences(df, context_len=64, n_buckets=7).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert [r["doc_id"] for r in out] == list(range(50))
+    run = 0
+    for r in out:
+        assert r["tok_offset"] == run
+        assert r["bin_first"] == run // 64
+        assert r["bin_last"] == (run + r["n_tokens"] - 1) // 64
+        run += r["n_tokens"]
+
+
+def test_pack_sequences_bucketing_is_invisible(spark):
+    """The two-level prefix sum gives the same answer at any bucket
+    count (1 = fully sequential reference) and with sparse ids."""
+    rows = [(i * 13 + 5, i % 7 + 1) for i in range(40)]  # sparse, non-dense ids
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    ref = sorted(map(tuple, C.pack_sequences(df, 16, n_buckets=1).collect()))
+    for nb in (3, 8, 1000):
+        got = sorted(map(tuple, C.pack_sequences(df, 16, n_buckets=nb).collect()))
+        assert got == ref, nb
+
+
+def test_pack_sequences_drops_zero_token_docs(spark):
+    df = spark.createDataFrame(
+        [(1, 5), (2, 0), (3, 7)], "doc_id long, n_tokens long"
+    )
+    out = {r["doc_id"]: r for r in C.pack_sequences(df, 8).collect()}
+    assert set(out) == {1, 3}
+    assert out[3]["tok_offset"] == 5  # doc 2 occupies no stream position
+    assert out[1]["bin_first"] == 0 and out[3]["bin_last"] == 1
+
+
+def test_pack_sequences_straddles_windows(spark):
+    df = spark.createDataFrame([(1, 10), (2, 10)], "doc_id long, n_tokens long")
+    out = {r["doc_id"]: r for r in C.pack_sequences(df, 8).collect()}
+    assert (out[1]["bin_first"], out[1]["bin_last"]) == (0, 1)
+    assert (out[2]["bin_first"], out[2]["bin_last"]) == (1, 2)
+
+
+def test_pack_sequences_rejects_bad_args(spark):
+    df = spark.createDataFrame([("a", 5)], "doc_id string, n_tokens long")
+    with pytest.raises(ValueError, match="must be integral"):
+        C.pack_sequences(df, 8)
+    df2 = spark.createDataFrame([(1, 5)], "doc_id long, n_tokens long")
+    with pytest.raises(ValueError, match="context_len"):
+        C.pack_sequences(df2, 0)
