@@ -58,6 +58,7 @@ EXTENDED = [
     "image_dhash_pairs",
     "semantic_dedup",
     "pack_sequences",
+    "transcript_checks",
 ]
 
 

@@ -143,3 +143,100 @@ def explode_records(records: DataFrame) -> DataFrame:
         F.col("t.tool").alias("tool"),
         F.col("t.ts").alias("ts"),
     )
+
+
+def transcript_checks(
+    transcripts: DataFrame,
+    valid_roles: tuple[str, ...] = ("user", "assistant", "tool"),
+    must_start_with: str | None = "user",
+) -> DataFrame:
+    """Per-conversation STRUCTURAL validation of raw transcripts — the
+    transcript-tier curation gate that runs BEFORE records aggregation
+    (a malformed conversation caught here never pays the linkage path).
+
+    One shuffle (the same groupBy(conv_id) shape as
+    ``conversation_records``); every check is an array expression over
+    the sorted turn structs — JVM, codegen, no UDFs.
+
+    Output per conv_id (counts are longs, flags 0/1 ints):
+      n_turns, n_bad_role (role NULL or outside ``valid_roles``),
+      n_empty_text (NULL/blank text), n_dup_turn_idx, contiguous
+      (turn_idx covers 0..k with no gap), starts_ok (first turn's role
+      is ``must_start_with``; 1 when the check is disabled with None),
+      n_alternation_violations (adjacent turns sharing a role —
+      informational, not gating: tool loops legitimately repeat),
+      n_tool_turns, keep, reasons (deterministic comma-joined flag
+      list, same contract as ``curation.quality_filter``).
+    """
+    turn_struct = F.struct(
+        F.col("turn_idx"), F.col("role"), F.col("text"), F.col("tool"), F.col("ts")
+    )
+    rec = transcripts.groupBy("conv_id").agg(
+        F.sort_array(F.collect_list(turn_struct)).alias("_turns")
+    )
+
+    roles = F.transform(F.col("_turns"), lambda t: t["role"])
+    idxs = F.transform(F.col("_turns"), lambda t: t["turn_idx"])
+    n = F.size(F.col("_turns"))
+    bad_role = F.size(
+        F.filter(roles, lambda r: F.coalesce(~r.isin(*valid_roles), F.lit(True)))
+    )
+    empty_text = F.size(
+        F.filter(
+            F.col("_turns"),
+            lambda t: t["text"].isNull() | (F.trim(t["text"]) == ""),
+        )
+    )
+    dup_idx = n - F.size(F.array_distinct(idxs))
+    contiguous = (
+        (F.array_min(idxs) == 0)
+        & (F.array_max(idxs) == F.size(F.array_distinct(idxs)) - 1)
+    ).cast("int")
+    starts_ok = (
+        F.lit(1)
+        if must_start_with is None
+        else F.coalesce(
+            (F.element_at(roles, 1) == must_start_with).cast("int"), F.lit(0)
+        )
+    )
+    # adjacent-pair role repeats, in sorted turn order: zip the array
+    # against itself shifted by one (slice is 1-based; length n-1)
+    altern = F.size(
+        F.filter(
+            F.zip_with(
+                F.slice(roles, 1, n - 1),
+                F.slice(roles, 2, n - 1),
+                lambda a, b: a == b,
+            ),
+            lambda x: x,
+        )
+    )
+    tool_turns = F.size(F.filter(F.col("_turns"), lambda t: t["tool"].isNotNull()))
+
+    out = rec.select(
+        "conv_id",
+        n.cast("long").alias("n_turns"),
+        bad_role.cast("long").alias("n_bad_role"),
+        empty_text.cast("long").alias("n_empty_text"),
+        dup_idx.cast("long").alias("n_dup_turn_idx"),
+        contiguous.alias("contiguous"),
+        starts_ok.alias("starts_ok"),
+        altern.cast("long").alias("n_alternation_violations"),
+        tool_turns.cast("long").alias("n_tool_turns"),
+    )
+    keep = (
+        (F.col("n_bad_role") == 0)
+        & (F.col("n_empty_text") == 0)
+        & (F.col("n_dup_turn_idx") == 0)
+        & (F.col("contiguous") == 1)
+        & (F.col("starts_ok") == 1)
+    )
+    reasons = F.concat_ws(
+        ",",
+        F.when(F.col("n_bad_role") > 0, F.lit("bad_role")),
+        F.when(F.col("n_empty_text") > 0, F.lit("empty_text")),
+        F.when(F.col("n_dup_turn_idx") > 0, F.lit("dup_turn_idx")),
+        F.when(F.col("contiguous") == 0, F.lit("not_contiguous")),
+        F.when(F.col("starts_ok") == 0, F.lit("bad_start")),
+    )
+    return out.withColumn("keep", keep.cast("int")).withColumn("reasons", reasons)

@@ -117,3 +117,64 @@ def test_linkage_records_drops_userless_conversations(spark):
     ).withColumn("ts", F.current_timestamp())
     out = linkage_records(t).select("conv_id").collect()
     assert [r["conv_id"] for r in out] == ["c1"]
+
+
+def test_transcript_checks_flags_each_defect(spark):
+    """One conversation per defect class; the clean one keeps."""
+    import datetime as dt
+
+    ts = dt.datetime(2026, 1, 1)
+    rows = [
+        # clean: user/assistant alternating, contiguous from 0
+        ("ok", 0, "user", "hi", None, ts),
+        ("ok", 1, "assistant", "hello", None, ts),
+        # bad role + a tool turn
+        ("badrole", 0, "user", "hi", None, ts),
+        ("badrole", 1, "robot", "beep", "hammer", ts),
+        # empty text (blank and NULL)
+        ("empty", 0, "user", "  ", None, ts),
+        ("empty", 1, "assistant", None, None, ts),
+        # duplicate turn_idx (distinct coverage 0..0 is still contiguous
+        # — the dup count is the flag that fires)
+        ("dup", 0, "user", "a", None, ts),
+        ("dup", 0, "user", "b", None, ts),
+        # gap: 0 then 2
+        ("gap", 0, "user", "a", None, ts),
+        ("gap", 2, "assistant", "b", None, ts),
+        # wrong opening role + adjacent repeat
+        ("badstart", 0, "assistant", "a", None, ts),
+        ("badstart", 1, "assistant", "b", None, ts),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    from spinebasedrecordlinkage_jl_spark.operators.records import transcript_checks
+
+    out = {r["conv_id"]: r for r in transcript_checks(df).collect()}
+    assert out["ok"]["keep"] == 1 and out["ok"]["reasons"] == ""
+    assert out["badrole"]["n_bad_role"] == 1 and out["badrole"]["n_tool_turns"] == 1
+    assert out["badrole"]["reasons"] == "bad_role"
+    assert out["empty"]["n_empty_text"] == 2 and out["empty"]["keep"] == 0
+    assert out["dup"]["n_dup_turn_idx"] == 1 and out["dup"]["contiguous"] == 1
+    assert out["dup"]["reasons"] == "dup_turn_idx"
+    assert out["gap"]["contiguous"] == 0 and out["gap"]["reasons"] == "not_contiguous"
+    assert out["badstart"]["starts_ok"] == 0
+    assert out["badstart"]["n_alternation_violations"] == 1
+    assert out["badstart"]["reasons"] == "bad_start"
+    assert all(out[c]["keep"] == 0 for c in ("badrole", "empty", "dup", "gap", "badstart"))
+
+
+def test_transcript_checks_null_role_and_disabled_start(spark):
+    import datetime as dt
+
+    ts = dt.datetime(2026, 1, 1)
+    df = spark.createDataFrame(
+        [("c", 0, None, "x", None, ts)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    from spinebasedrecordlinkage_jl_spark.operators.records import transcript_checks
+
+    row = transcript_checks(df, must_start_with=None).collect()[0]
+    assert row["n_bad_role"] == 1  # NULL role counts as invalid
+    assert row["starts_ok"] == 1  # opening-role check disabled
+    assert row["reasons"] == "bad_role"
