@@ -59,6 +59,7 @@ EXTENDED = [
     "semantic_dedup",
     "pack_sequences",
     "transcript_checks",
+    "corpus_mix",
 ]
 
 

@@ -36,6 +36,10 @@ entry_queries.py so the DuckDB oracle verifies it value-for-value:
 - ``vocab_topk``: corpus-wide token frequencies, top k — map-side
   combinable count + two-level distinct, then TakeOrdered (no full
   sort materialization).
+- ``corpus_mix``: token-budget data mixing — per-source sampling rate
+  min(1, budget*w/avail) from a one-row-per-source in-plan aggregate,
+  broadcast back and applied as the same md5-uniform map-side filter;
+  the corpus never shuffles and the rates never leave the plan.
 - ``pack_sequences``: GPT-style concatenate-and-chunk packing — each
   document's global token offset and training-window span via a
   two-level distributed prefix sum (per-id-range-bucket cumsum, then a
@@ -490,3 +494,73 @@ def pack_sequences(
             .alias("bin_last"),
         )
     )
+
+
+def corpus_mix(
+    docs: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    salt: str = "mix",
+    return_plan: bool = False,
+):
+    """Data mixing: sample each source so the result approximates the
+    target mixture ``weights`` within ``token_budget`` total tokens —
+    the corpus-composition step of a pretraining pipeline (web 60%,
+    code 20%, ... at N tokens).
+
+    Per source s: rate_s = min(1, budget * w_s / available_tokens_s)
+    (weights are normalized over the dict; sources absent from it are
+    excluded). Each row then keeps iff its deterministic md5-uniform
+    draw (:func:`uniform_hash01` — partitioning-independent,
+    resume-stable) falls under its source's rate, so the expected
+    sampled token mass per source is min(budget * w_s, available_s).
+    An UNDERSUPPLIED source caps at rate 1 — every row kept, target
+    shortfall reported, upsampling (epochs > 1) left to the caller.
+
+    100 TB shape: one partial-aggregatable groupBy over (source) for
+    the availability totals — a frame with one row per source — then a
+    broadcast join and a map-side filter. The corpus itself never
+    shuffles, and the rates stay INSIDE the plan (no driver-side
+    collect), so the whole mix is one lazy DataFrame.
+
+    Returns the sampled rows (all input columns); with
+    ``return_plan=True`` also the per-source audit frame
+    (source, available_tokens, target_tokens, rate).
+    """
+    if token_budget <= 0:
+        raise ValueError(f"token_budget must be positive, got {token_budget}")
+    if not weights:
+        raise ValueError("corpus_mix: weights is empty")
+    wsum = float(sum(weights.values()))
+    if wsum <= 0:
+        raise ValueError("corpus_mix: weights must sum to a positive value")
+    norm = {s: float(w) / wsum for s, w in weights.items()}
+
+    weight_col: Column = F.lit(None).cast("double")
+    for s, w in sorted(norm.items()):
+        weight_col = F.when(F.col(source_col) == s, F.lit(w)).otherwise(weight_col)
+
+    avail = (
+        docs.filter(F.col(source_col).isin(*norm.keys()))
+        .groupBy(source_col)
+        .agg(F.sum(F.col(tokens_col).cast("long")).alias("_avail"))
+    )
+    plan = avail.select(
+        F.col(source_col),
+        F.col("_avail").alias("available_tokens"),
+        (F.lit(int(token_budget)) * weight_col).alias("target_tokens"),
+        F.least(
+            F.lit(1.0),
+            (F.lit(int(token_budget)) * weight_col) / F.col("_avail").cast("double"),
+        ).alias("rate"),
+    )
+    sampled = docs.join(
+        F.broadcast(plan.select(source_col, "rate")), source_col
+    ).filter(uniform_hash01(F.col(key_col), salt) < F.col("rate"))
+    out = sampled.select(*docs.columns)
+    if return_plan:
+        return out, plan
+    return out

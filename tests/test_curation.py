@@ -227,3 +227,61 @@ def test_pack_sequences_rejects_bad_args(spark):
     df2 = spark.createDataFrame([(1, 5)], "doc_id long, n_tokens long")
     with pytest.raises(ValueError, match="context_len"):
         C.pack_sequences(df2, 0)
+
+
+def test_corpus_mix_rates_and_exact_membership(spark):
+    """Rates follow min(1, budget*w/avail); the sampled set is exactly
+    the rows whose md5-uniform (recomputed independently here) falls
+    under the source's rate — deterministic, not statistical."""
+    import hashlib
+
+    rows = [(i, "web" if i < 40 else "code", 10) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    # web: avail 400, target 0.75*300=225 -> rate .5625 ; code: avail
+    # 200, target 75 -> rate 0.375
+    out, plan = C.corpus_mix(
+        df, {"web": 0.75, "code": 0.25}, 300, salt="t", return_plan=True
+    )
+    p = {r["source"]: r for r in plan.collect()}
+    assert p["web"]["available_tokens"] == 400 and p["web"]["rate"] == 225 / 400
+    assert p["code"]["available_tokens"] == 200 and p["code"]["rate"] == 75 / 200
+
+    def u(doc_id):
+        h = hashlib.md5(f"t:{doc_id}".encode()).hexdigest()
+        return int(h[:8], 16) / 2**32
+
+    expect = {
+        i for i, s, _ in rows if u(i) < (225 / 400 if s == "web" else 75 / 200)
+    }
+    assert {r["doc_id"] for r in out.collect()} == expect
+    assert set(out.columns) == {"doc_id", "source", "n_tokens"}
+
+
+def test_corpus_mix_undersupplied_source_caps_at_one(spark):
+    df = spark.createDataFrame(
+        [(i, "rare" if i < 3 else "big", 100) for i in range(53)],
+        "doc_id long, source string, n_tokens long",
+    )
+    # rare: avail 300, target 0.5*5000=2500 -> capped; big excluded
+    out, plan = C.corpus_mix(df, {"rare": 1.0}, 5000, return_plan=True)
+    assert plan.collect()[0]["rate"] == 1.0
+    assert {r["doc_id"] for r in out.collect()} == {0, 1, 2}  # all kept
+
+
+def test_corpus_mix_partitioning_invariant(spark):
+    rows = [(i, f"s{i % 3}", i % 11 + 1) for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    w = {"s0": 0.4, "s1": 0.4, "s2": 0.2}
+    a = sorted(map(tuple, C.corpus_mix(df, w, 120).collect()))
+    b = sorted(map(tuple, C.corpus_mix(df.repartition(7), w, 120).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_corpus_mix_rejects_bad_args(spark):
+    df = spark.createDataFrame([(1, "a", 5)], "doc_id long, source string, n_tokens long")
+    with pytest.raises(ValueError, match="token_budget"):
+        C.corpus_mix(df, {"a": 1.0}, 0)
+    with pytest.raises(ValueError, match="weights is empty"):
+        C.corpus_mix(df, {}, 100)
+    with pytest.raises(ValueError, match="positive"):
+        C.corpus_mix(df, {"a": 0.0}, 100)
