@@ -67,3 +67,32 @@ def test_read_table_csv_honors_explicit_schema(spark, tmp_path):
     assert dict(df.dtypes)["turn_idx"] == "int"
     row = df.collect()[0]
     assert (row.conv_id, row.turn_idx, row.role) == ("c1", 0, "user")
+
+
+def test_malformed_policy_fail_drop_null(spark, tmp_path):
+    """A torn JSONL line: 'fail' aborts the scan loudly, 'drop' discards
+    it, 'null' (Spark's silent default, opt-in here) keeps an all-NULL
+    row. The policy is chosen at the ingest boundary, never inherited."""
+    p = str(tmp_path / "dirty.jsonl")
+    with open(p, "w") as f:
+        f.write('{"conv_id":"c1","turn_idx":0,"role":"user","text":"hi","tool":null,"ts":"2026-01-01T00:00:00Z"}\n')
+        f.write('{"conv_id":"c2","turn_idx":0,"role":"user","text":"yo","tool":null,"ts":"2026-01-01T00:00:01Z"}\n')
+        f.write('{"conv_id": TORN LINE NOT JSON\n')
+
+    with pytest.raises(Exception, match="Malformed|FAILFAST|MALFORMED"):
+        read_transcripts(spark, p).collect()  # default malformed="fail"
+
+    dropped = read_transcripts(spark, p, malformed="drop")
+    assert {r["conv_id"] for r in dropped.collect()} == {"c1", "c2"}
+
+    nulled = read_transcripts(spark, p, malformed="null")
+    rows = nulled.collect()
+    assert len(rows) == 3
+    assert sum(1 for r in rows if r["conv_id"] is None) == 1
+
+
+def test_malformed_rejects_unknown_policy(spark, tmp_path):
+    p = str(tmp_path / "x.jsonl")
+    open(p, "w").write("{}\n")
+    with pytest.raises(ValueError, match="malformed must be one of"):
+        read_table(spark, p, malformed="explode")
