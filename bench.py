@@ -60,6 +60,7 @@ EXTENDED = [
     "pack_sequences",
     "transcript_checks",
     "corpus_mix",
+    "dedup_incremental",
 ]
 
 

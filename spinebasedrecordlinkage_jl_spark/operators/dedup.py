@@ -464,3 +464,102 @@ def simhash_dedup(
     if return_purged:
         return pairs, purged
     return pairs
+
+
+def build_dedup_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    shingle_n: int = 8,
+    max_chars: int = 100,
+) -> tuple[DataFrame, DataFrame]:
+    """Build the persisted dedup index of a historical corpus for
+    :func:`dedup_incremental`: ``(hashes, bands)`` where ``hashes`` is
+    the DISTINCT content-hash set (exact layer) and ``bands`` the
+    distinct (band_idx, band_hash) LSH band set (near-dup layer).
+
+    Both frames are per-VALUE distinct — the index stores what content
+    exists, not which document carries it, so it stays a fraction of
+    corpus size and appending a day's batch is a union+distinct. Write
+    them as parquet/Iceberg tables and refresh incrementally."""
+    hashes = df.select(F.md5(F.col(text_col)).alias("content_hash")).distinct()
+    bands = minhash_bands(
+        minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, max_chars),
+        rows_per_band,
+    ).select("band_idx", "band_hash").distinct()
+    return hashes, bands
+
+
+def dedup_incremental(
+    new_docs: DataFrame,
+    history_hashes: DataFrame,
+    history_bands: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    shingle_n: int = 8,
+    max_chars: int = 100,
+) -> DataFrame:
+    """Dedup a NEW batch against the persisted index of everything seen
+    before (the production shape: today's crawl vs. the historical
+    corpus, without ever re-scanning history). Output per new document:
+
+      (id, exact_dup, n_history_band_hits, near_dup_candidate, novel)
+
+    ``exact_dup``: content hash already in ``history_hashes``.
+    ``n_history_band_hits`` / ``near_dup_candidate``: how many of the
+    document's LSH bands exist in ``history_bands`` — the same candidate
+    semantics as ``minhash_lsh_pairs`` (>=1 shared band); verification
+    against actual historical text is a second, targeted pass if needed.
+    ``novel``: neither layer fired — safe to append, and the document's
+    hash/bands are what ``build_dedup_index`` on the batch unions into
+    the index.
+
+    100 TB shape: the batch is days smaller than history, but the INDEX
+    is value-distinct and layered — the joins here are batch-side
+    explode vs two distinct sets, shuffled on content_hash / band_hash
+    (high-cardinality, no skew); history documents themselves are never
+    read. Left-semi/left-outer joins keep it one pass over the batch.
+    """
+    hashed = new_docs.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("content_hash")
+    )
+    exact = hashed.join(
+        history_hashes.select("content_hash").distinct().withColumn("_x", F.lit(1)),
+        "content_hash",
+        "left",
+    ).select(id_col, F.coalesce(F.col("_x"), F.lit(0)).alias("exact_dup"))
+
+    batch_bands = minhash_bands(
+        minhash_signatures(new_docs, text_col, id_col, num_hashes, shingle_n, max_chars),
+        rows_per_band,
+    )
+    band_hits = (
+        batch_bands.join(
+            history_bands.select("band_idx", "band_hash").distinct(),
+            ["band_idx", "band_hash"],
+            "left_semi",
+        )
+        .groupBy(F.col("id").alias(id_col))
+        .agg(F.count("*").alias("n_history_band_hits"))
+    )
+    out = (
+        exact.join(band_hits, id_col, "left")
+        .select(
+            id_col,
+            "exact_dup",
+            F.coalesce(F.col("n_history_band_hits"), F.lit(0)).alias(
+                "n_history_band_hits"
+            ),
+        )
+        .withColumn(
+            "near_dup_candidate", (F.col("n_history_band_hits") > 0).cast("int")
+        )
+    )
+    return out.withColumn(
+        "novel",
+        ((F.col("exact_dup") == 0) & (F.col("near_dup_candidate") == 0)).cast("int"),
+    )

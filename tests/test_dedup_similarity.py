@@ -439,3 +439,53 @@ def test_semantic_dedup_rejects_string_ids(spark):
     )
     with pytest.raises(ValueError, match="must be integral"):
         S.semantic_dedup(df, S.sample_centroids(df.limit(0)))
+
+
+def test_dedup_incremental_layers(spark):
+    """Exact layer fires on byte-identical history content, the LSH
+    band layer on near-identical, neither on unrelated text."""
+    hist = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different content about databases"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),   # exact
+            (11, "the quick brown fox jumped over the lazy dog"),  # near
+            (12, "totally unrelated text regarding astronomy here"),
+        ],
+        "doc_id long, text string",
+    )
+    hashes, bands = D.build_dedup_index(hist)
+    out = {r["doc_id"]: r for r in D.dedup_incremental(batch, hashes, bands).collect()}
+    assert out[10]["exact_dup"] == 1 and out[10]["near_dup_candidate"] == 1
+    assert out[10]["n_history_band_hits"] == 4  # identical -> all 4 bands
+    assert out[11]["exact_dup"] == 0 and out[11]["near_dup_candidate"] == 1
+    assert out[12]["exact_dup"] == 0 and out[12]["near_dup_candidate"] == 0
+    assert [out[i]["novel"] for i in (10, 11, 12)] == [0, 0, 1]
+
+
+def test_dedup_index_is_value_distinct_and_unionable(spark):
+    """The index stores distinct VALUES (no doc ids), and refreshing it
+    with a new batch is union+distinct — equal to rebuilding over the
+    full corpus."""
+    a = spark.createDataFrame(
+        [(1, "same text repeated"), (2, "same text repeated"), (3, "other")],
+        "doc_id long, text string",
+    )
+    b = spark.createDataFrame(
+        [(4, "same text repeated"), (5, "brand new content")],
+        "doc_id long, text string",
+    )
+    ha, ba = D.build_dedup_index(a)
+    assert ha.count() == 2  # two distinct contents, not three docs
+    assert set(ha.columns) == {"content_hash"} and set(ba.columns) == {"band_idx", "band_hash"}
+    hb, bb = D.build_dedup_index(b)
+    hfull, bfull = D.build_dedup_index(a.unionByName(b))
+    union_h = sorted(r[0] for r in ha.unionByName(hb).distinct().collect())
+    assert union_h == sorted(r[0] for r in hfull.collect())
+    union_b = sorted(map(tuple, ba.unionByName(bb).distinct().collect()))
+    assert union_b == sorted(map(tuple, bfull.collect()))
