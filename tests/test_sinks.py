@@ -1,0 +1,51 @@
+"""Trainer-facing sharded corpus writes: record-per-file bound,
+partitioned layout, manifest completeness."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spinebasedrecordlinkage_jl_spark.sinks import shard_manifest, write_corpus_shards
+
+
+def test_shards_respect_record_bound_and_manifest_sums(spark, tmp_path):
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 3).cast("string").alias("lang")
+    )
+    out = str(tmp_path / "corpus")
+    write_corpus_shards(df.repartition(4), out, max_records_per_file=100)
+    man = shard_manifest(spark, out).collect()
+    assert all(r["n_records"] <= 100 for r in man)
+    assert sum(r["n_records"] for r in man) == 1000
+    assert len(man) >= 10  # 1000 rows / 100-cap -> at least 10 shards
+
+
+def test_partitioned_layout_and_sorted_shards(spark, tmp_path):
+    df = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 2).cast("string").alias("source"),
+        (F.lit(299) - F.col("id")).alias("quality"),
+    )
+    out = str(tmp_path / "bysrc")
+    write_corpus_shards(
+        df, out, max_records_per_file=50, partition_by="source",
+        sort_within=["quality"],
+    )
+    back = spark.read.parquet(out)
+    # partition-dir values read back through Spark's partition-column
+    # inference (string dirs -> int values) — compare as strings
+    assert {str(r["source"]) for r in back.select("source").distinct().collect()} == {"0", "1"}
+    assert back.count() == 300
+    # directory layout is partitioned: every shard path embeds source=
+    man = shard_manifest(spark, out).collect()
+    assert all("source=" in r["shard_path"] for r in man)
+    assert all(r["n_records"] <= 50 for r in man)
+    # rows inside one shard file are sorted by the sort_within column
+    one = man[0]["shard_path"]
+    rows = [r["quality"] for r in spark.read.parquet(one).select("quality").collect()]
+    assert rows == sorted(rows)
+
+
+def test_write_corpus_shards_rejects_bad_bound(spark, tmp_path):
+    df = spark.range(3)
+    with pytest.raises(ValueError, match="max_records_per_file"):
+        write_corpus_shards(df, str(tmp_path / "x"), max_records_per_file=0)
