@@ -21,13 +21,23 @@ from pyspark.sql import functions as F
 from ..sources.transcripts import TRANSCRIPT_SCHEMA
 
 
-def stream_transcripts(spark: SparkSession, input_dir: str) -> DataFrame:
-    """readStream over an append-only parquet directory of turns."""
-    return (
-        spark.readStream.schema(TRANSCRIPT_SCHEMA)
-        .option("maxFilesPerTrigger", 16)
-        .parquet(input_dir)
+def stream_transcripts(
+    spark: SparkSession, input_dir: str, fmt: str = "parquet"
+) -> DataFrame:
+    """readStream over an append-only directory of turns.
+
+    ``fmt="parquet"`` for compacted landing tables; ``fmt="json"`` tails
+    JSONL/NDJSON log files as a shipper drops them — the same declared
+    TRANSCRIPT_SCHEMA either way (streaming JSON never infers), and the
+    same downstream session-window aggregation."""
+    reader = spark.readStream.schema(TRANSCRIPT_SCHEMA).option(
+        "maxFilesPerTrigger", 16
     )
+    if fmt == "parquet":
+        return reader.parquet(input_dir)
+    if fmt in {"json", "jsonl", "ndjson"}:
+        return reader.json(input_dir)
+    raise ValueError(f"stream_transcripts: unsupported fmt {fmt!r}")
 
 
 def stream_conversation_records(

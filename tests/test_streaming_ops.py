@@ -290,3 +290,46 @@ def test_stream_neardup_hot_bucket_tombstone(spark, tmp_path):
     pairs = {(r["id_1"], r["id_2"]) for r in rows if r["band_idx"] == 0}
     assert pairs == {(1, 2), (1, 3), (2, 3), (1, 4), (2, 4), (3, 4)}
     assert not any(r["id_1"] in (5, 10, 11) or r["id_2"] in (5, 10, 11) for r in rows)
+
+
+def test_stream_transcripts_json_tail_matches_parquet(spark, tmp_path):
+    """Tailing JSONL log drops produces the same session-window records
+    as the parquet landing-table path — same declared schema, no
+    streaming inference."""
+    from spinebasedrecordlinkage_jl_spark.sources import synthesize_transcripts
+    from spinebasedrecordlinkage_jl_spark.streaming.records import (
+        stream_conversation_records,
+        stream_transcripts,
+    )
+
+    turns, _ = synthesize_transcripts(spark, n_entities=12, seed=3)
+    pq_dir = str(tmp_path / "pq")
+    jl_dir = str(tmp_path / "jl")
+    turns.coalesce(2).write.parquet(pq_dir)
+    spark.read.parquet(pq_dir).coalesce(2).write.json(jl_dir)
+
+    def run(fmt, in_dir, tag):
+        out = str(tmp_path / f"out_{tag}")
+        q = (
+            stream_conversation_records(stream_transcripts(spark, in_dir, fmt=fmt))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / f"ck_{tag}"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(
+            (r["conv_id"], r["n_turns"], r["first_text"], r["norm_text"])
+            for r in spark.read.parquet(out).collect()
+        )
+
+    assert run("json", jl_dir, "j") == run("parquet", pq_dir, "p") != []
+
+
+def test_stream_transcripts_rejects_unknown_fmt(spark, tmp_path):
+    from spinebasedrecordlinkage_jl_spark.streaming.records import stream_transcripts
+
+    with pytest.raises(ValueError, match="unsupported fmt"):
+        stream_transcripts(spark, str(tmp_path), fmt="xml")
