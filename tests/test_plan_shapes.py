@@ -116,3 +116,18 @@ def test_scan_filter_pushes_down(spark):
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
     assert pushed, plan
     assert "lang" in pushed[0], pushed[0]
+
+
+def test_pack_sequences_doc_window_is_bucket_partitioned(plans):
+    """The distributed-prefix-sum contract: the corpus-sized window must
+    be partitioned by the id-range bucket; the only unpartitioned-ish
+    (single-partition) window may run over the tiny bucket-totals frame.
+    A lost partition spec here silently serializes the whole corpus
+    through one window task."""
+    plan = plans["pack_sequences"]
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "no window in pack_sequences plan"
+    doc_windows = [s for s in specs if "_bucket" in s.split(",")[0]]
+    assert doc_windows, f"doc-level window lost its _bucket partition: {specs}"
