@@ -61,6 +61,7 @@ EXTENDED = [
     "transcript_checks",
     "corpus_mix",
     "dedup_incremental",
+    "corpus_report",
 ]
 
 

@@ -36,6 +36,10 @@ entry_queries.py so the DuckDB oracle verifies it value-for-value:
 - ``vocab_topk``: corpus-wide token frequencies, top k — map-side
   combinable count + two-level distinct, then TakeOrdered (no full
   sort materialization).
+- ``corpus_report``: per-source dataset datasheet (docs, tokens,
+  exact-dup mass, quality pass rate via the SHARED ``quality_reasons``
+  expression, English share) in one groupBy — the diff target after
+  any curation-knob change.
 - ``corpus_mix``: token-budget data mixing — per-source sampling rate
   min(1, budget*w/avail) from a one-row-per-source in-plan aggregate,
   broadcast back and applied as the same md5-uniform map-side filter;
@@ -176,24 +180,38 @@ def quality_filter(
     ``reasons`` is a deterministic comma-joined list of failed checks
     (empty when the document passes). Built on the codegen text kernels;
     concat_ws drops the NULL branches of untriggered checks."""
-    text = F.col(text_col)
-    checks: list[tuple[str, Column]] = [
-        ("short", ws_token_count(text) < min_tokens),
-        ("punct", punct_ratio(text) > max_punct_ratio),
-        ("stopword", stopword_ratio(text) < min_stopword_ratio),
-    ]
-    if require_terminal_punct:
-        checks.append(
-            ("no_terminal_punct", ~F.trim(text).rlike(r"[.!?]$"))
-        )
-    reasons = F.concat_ws(
-        ",", *[F.when(cond, F.lit(name)) for name, cond in checks]
+    reasons = quality_reasons(
+        F.col(text_col),
+        min_tokens,
+        max_punct_ratio,
+        min_stopword_ratio,
+        require_terminal_punct,
     )
     return docs.select(
         F.col(id_col),
         (reasons == "").alias("keep"),
         reasons.alias("reasons"),
     )
+
+
+def quality_reasons(
+    text: Column,
+    min_tokens: int = 25,
+    max_punct_ratio: float = 0.2,
+    min_stopword_ratio: float = 0.05,
+    require_terminal_punct: bool = False,
+) -> Column:
+    """The quality gate as a reusable COLUMN: the comma-joined failed
+    checks ('' = pass). Shared by :func:`quality_filter` and
+    :func:`corpus_report` so the gate cannot drift between them."""
+    checks: list[tuple[str, Column]] = [
+        ("short", ws_token_count(text) < min_tokens),
+        ("punct", punct_ratio(text) > max_punct_ratio),
+        ("stopword", stopword_ratio(text) < min_stopword_ratio),
+    ]
+    if require_terminal_punct:
+        checks.append(("no_terminal_punct", ~F.trim(text).rlike(r"[.!?]$")))
+    return F.concat_ws(",", *[F.when(cond, F.lit(name)) for name, cond in checks])
 
 
 def _nonempty_lines(text: Column, line_sep: str) -> Column:
@@ -564,3 +582,53 @@ def corpus_mix(
     if return_plan:
         return out, plan
     return out
+
+
+def corpus_report(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    **quality_kwargs,
+) -> DataFrame:
+    """Per-source corpus datasheet in ONE aggregation pass: document and
+    token counts, exact-duplicate mass, quality-gate pass rate and
+    English share — the summary table a dataset card starts from, and
+    the first thing to diff after changing any upstream curation knob.
+
+    Output per source: (source, n_docs, total_tokens, distinct_contents,
+    dup_fraction, quality_pass_rate, n_english). The quality gate is the
+    SAME expression as :func:`quality_filter` (``quality_reasons`` —
+    pass its kwargs through), so the report's pass rate is exactly the
+    fraction that operator would keep.
+
+    100 TB shape: a per-doc projection (md5, token count, gate, lang ID
+    — all codegen) followed by one groupBy(source). count/sum/avg
+    partial-aggregate map-side; count(DISTINCT md5) is Spark's standard
+    two-level expand — the only data-sized shuffle, keyed on (source,
+    hash), which cannot run hot. Source cardinality is tiny, so the
+    final reduce is trivial."""
+    from ..functions.text import lang_id
+
+    reasons = quality_reasons(F.col(text_col), **quality_kwargs)
+    per_doc = docs.select(
+        F.col(source_col).alias("source"),
+        F.md5(F.col(text_col)).alias("_h"),
+        ws_token_count(F.col(text_col)).alias("_tok"),
+        (reasons == "").cast("int").alias("_keep"),
+        lang_id(F.col(text_col)).alias("_lang"),
+    )
+    n = F.count("*")
+    nd = F.countDistinct("_h")
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            n.cast("long").alias("n_docs"),
+            F.sum("_tok").cast("long").alias("total_tokens"),
+            nd.cast("long").alias("distinct_contents"),
+            F.round(
+                F.lit(1.0) - nd.cast("double") / n.cast("double"), 6
+            ).alias("dup_fraction"),
+            F.round(F.avg("_keep"), 6).alias("quality_pass_rate"),
+            F.sum((F.col("_lang") == "en").cast("int")).cast("long").alias("n_english"),
+        )
+    )

@@ -285,3 +285,47 @@ def test_corpus_mix_rejects_bad_args(spark):
         C.corpus_mix(df, {}, 100)
     with pytest.raises(ValueError, match="positive"):
         C.corpus_mix(df, {"a": 0.0}, 100)
+
+
+def test_corpus_report_values(spark):
+    """Handcrafted two-source corpus: dup mass, pass rate and English
+    share come out exactly."""
+    good = (
+        "this is a perfectly reasonable document with enough plain words "
+        "that the quality gate will let it through because it is long and "
+        "has the usual stopword density of real prose."
+    )
+    rows = [
+        (1, "web", good),
+        (2, "web", good),            # exact dup of 1
+        (3, "web", "too short"),     # fails 'short'
+        (4, "code", good + " extra"),
+        (5, "code", "x = 1"),        # fails gates, not English
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    rep = {r["source"]: r for r in C.corpus_report(df).collect()}
+    web, code = rep["web"], rep["code"]
+    assert (web["n_docs"], web["distinct_contents"]) == (3, 2)
+    assert web["dup_fraction"] == round(1 - 2 / 3, 6)
+    assert web["quality_pass_rate"] == round(2 / 3, 6)
+    assert (code["n_docs"], code["dup_fraction"]) == (2, 0.0)
+    assert code["quality_pass_rate"] == 0.5
+    # doc 3 ("too short") carries no stopword markers -> 'und', not 'en'
+    assert web["n_english"] == 2 and code["n_english"] == 1
+    assert web["total_tokens"] > code["total_tokens"]
+
+
+def test_corpus_report_pass_rate_matches_quality_filter(spark, tmp_path):
+    """The report's pass rate is exactly quality_filter's keep fraction
+    (shared expression — no drift possible, but pin it)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rep = C.corpus_report(docs)
+    from pyspark.sql import functions as FF
+
+    total_rate = (
+        rep.agg(
+            (FF.sum(FF.col("quality_pass_rate") * FF.col("n_docs")) / FF.sum("n_docs"))
+        ).first()[0]
+    )
+    kept = C.quality_filter(docs).filter("keep").count()
+    assert abs(total_rate - kept / docs.count()) < 1e-6
