@@ -96,3 +96,63 @@ def stream_exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "d
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def stream_dedup_incremental(
+    docs: DataFrame,
+    sink,
+    checkpoint_dir: str,
+    index_refresh,
+    refresh_every_n_epochs: int = 1,
+    trigger: dict | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **index_kwargs,
+):
+    """Flag an incoming document stream against the persisted dedup
+    index in-flight: each micro-batch runs the batch
+    ``operators.dedup.dedup_incremental`` (exact content-hash layer +
+    LSH band-candidate layer) against the CURRENT index and hands
+    ``sink(flags_df, epoch_id)`` the verdict frame — the streaming half
+    of the crawl-vs-history loop, same foreachBatch shape (and the same
+    idempotent-sink contract) as ``streaming.linkage.stream_link_to_spine``.
+
+    ``index_refresh``: zero-arg callable returning the current
+    ``(history_hashes, history_bands)`` frames (e.g. two parquet/Iceberg
+    reads); re-invoked every ``refresh_every_n_epochs`` micro-batches so
+    the periodic batch index refresh (``build_dedup_index`` over newly
+    accepted docs, union+distinct) becomes visible without restarting
+    the query. Documents arriving between refreshes are judged against
+    the previous snapshot — exactly the batch engine's
+    frozen-index-per-pass semantics.
+
+    State lives in the INDEX tables, not the streaming engine: no
+    watermark, no stateful operator, so a 100 TB history costs the
+    stream two joins per micro-batch and nothing in executor state.
+    """
+    from ..operators.dedup import dedup_incremental
+
+    if refresh_every_n_epochs < 1:
+        raise ValueError(
+            f"refresh_every_n_epochs must be >= 1, got {refresh_every_n_epochs}"
+        )
+    state = {"index": None, "batches_seen": 0}
+
+    def _batch(batch: DataFrame, epoch_id: int) -> None:
+        if state["index"] is None or state["batches_seen"] % refresh_every_n_epochs == 0:
+            state["index"] = index_refresh()
+        state["batches_seen"] += 1
+        hashes, bands = state["index"]
+        sink(
+            dedup_incremental(
+                batch, hashes, bands, text_col=text_col, id_col=id_col, **index_kwargs
+            ),
+            epoch_id,
+        )
+
+    writer = docs.writeStream.foreachBatch(_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

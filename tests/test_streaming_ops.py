@@ -333,3 +333,63 @@ def test_stream_transcripts_rejects_unknown_fmt(spark, tmp_path):
 
     with pytest.raises(ValueError, match="unsupported fmt"):
         stream_transcripts(spark, str(tmp_path), fmt="xml")
+
+
+def test_stream_dedup_incremental_with_index_refresh(spark, tmp_path):
+    """Two micro-batches against a history index that is refreshed
+    between them: batch-2 sees batch-1's accepted content as history."""
+    from spinebasedrecordlinkage_jl_spark.operators.dedup import build_dedup_index
+    from spinebasedrecordlinkage_jl_spark.streaming.dedup import (
+        stream_dedup_incremental,
+    )
+
+    hist_dir = str(tmp_path / "hist")
+    in_dir = str(tmp_path / "in")
+    out: dict[int, dict] = {}
+
+    hist0 = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")], DOC_SCHEMA
+    )
+    hist0.coalesce(1).write.parquet(hist_dir)
+
+    # batch 1: one exact dup of history, one novel
+    spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog"),
+         (11, "completely fresh text about telescopes and lenses")],
+        DOC_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    # batch 2: exact dup of batch-1's NOVEL doc -> only caught if the
+    # index refresh picked it up
+    spark.createDataFrame(
+        [(20, "completely fresh text about telescopes and lenses")], DOC_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    def index_refresh():
+        return build_dedup_index(spark.read.parquet(hist_dir))
+
+    def sink(flags, epoch_id):
+        rows = {r["doc_id"]: r for r in flags.collect()}
+        out[len(out)] = rows
+        # accept the batch's novel docs into history (the production
+        # append step this operator's refresh contract exists for)
+        novel_ids = [d for d, r in rows.items() if r["novel"] == 1]
+        if novel_ids:
+            batch_docs = spark.read.parquet(in_dir).filter(
+                F.col("doc_id").isin(novel_ids)
+            )
+            batch_docs.coalesce(1).write.mode("append").parquet(hist_dir)
+
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA).option("maxFilesPerTrigger", 1).parquet(in_dir)
+    )
+    q = stream_dedup_incremental(
+        stream, sink, str(tmp_path / "ck"), index_refresh,
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(120)
+
+    assert len(out) == 2
+    b1, b2 = out[0], out[1]
+    assert b1[10]["exact_dup"] == 1 and b1[11]["novel"] == 1
+    # batch 2's doc matches batch-1's accepted novel content via refresh
+    assert b2[20]["exact_dup"] == 1 and b2[20]["novel"] == 0
