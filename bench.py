@@ -62,6 +62,7 @@ EXTENDED = [
     "corpus_mix",
     "dedup_incremental",
     "corpus_report",
+    "dedup_incremental_verify",
 ]
 
 

@@ -563,3 +563,105 @@ def dedup_incremental(
         "novel",
         ((F.col("exact_dup") == 0) & (F.col("near_dup_candidate") == 0)).cast("int"),
     )
+
+
+def build_signature_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_n: int = 8,
+    max_chars: int = 100,
+) -> DataFrame:
+    """Third layer of the persisted dedup index (after
+    :func:`build_dedup_index`'s hash and band sets): the DISTINCT
+    MinHash signatures of the historical corpus, (h0..h{k-1}) with no
+    doc ids. Lets :func:`dedup_incremental_verify` ESTIMATE how similar
+    a new document is to anything in history without ever re-reading
+    history text. Refresh by union+distinct like the other layers."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, max_chars)
+    return sigs.drop("id").distinct()
+
+
+def dedup_incremental_verify(
+    new_docs: DataFrame,
+    history_sigs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rows_per_band: int = 2,
+    shingle_n: int = 8,
+    max_chars: int = 100,
+    max_band_population: int | None = 100_000,
+) -> DataFrame:
+    """Quantify ``dedup_incremental``'s near-dup CANDIDATES: for each
+    new document, the maximum estimated Jaccard against the historical
+    signature index — est_jaccard = fraction of agreeing MinHash
+    components (the standard unbiased estimator), maximized over the
+    history signatures that share >=1 LSH band with the document.
+
+    Output: (id, est_jaccard_max, n_matched_sigs); documents with no
+    band match are ABSENT (join with the candidate frame's left side to
+    zero-fill). Downstream thresholds est_jaccard_max where
+    ``dedup_incremental`` could only say "candidate".
+
+    100 TB shape: the band bucket join runs batch-side bands against
+    the value-distinct history band space — never history documents —
+    and ``max_band_population`` purges hot history bands (a boilerplate
+    signature shared by millions of docs is ONE row in the signature
+    index, so the index itself already collapses exact-dup mass).
+    """
+    num_hashes = len([c for c in history_sigs.columns if c.startswith("h")])
+    if num_hashes == 0:
+        raise ValueError("dedup_incremental_verify: history_sigs has no h* columns")
+    # portable signature identity (md5 of the concatenated components —
+    # the oracle SQL reconstructs it verbatim; components are fixed-width
+    # md5 hex so plain concatenation is collision-safe)
+    hist = history_sigs.withColumn(
+        "_sig_id", F.md5(F.concat(*[F.col(f"h{k}") for k in range(num_hashes)]))
+    )
+    hist_bands = minhash_bands(
+        hist.withColumnRenamed("_sig_id", "id"), rows_per_band
+    ).join(
+        hist.select(F.col("_sig_id").alias("id"), *[f"h{k}" for k in range(num_hashes)]),
+        "id",
+    )
+    if max_band_population is not None:
+        sizes = hist_bands.groupBy("band_idx", "band_hash").agg(
+            F.count("*").alias("_n")
+        )
+        hot = sizes.filter(F.col("_n") > max_band_population)
+        hist_bands = hist_bands.join(
+            F.broadcast(hot.select("band_idx", "band_hash")),
+            ["band_idx", "band_hash"],
+            "left_anti",
+        )
+
+    batch_sigs = minhash_signatures(
+        new_docs, text_col, id_col, num_hashes, shingle_n, max_chars
+    )
+    batch_bands = minhash_bands(batch_sigs, rows_per_band).join(batch_sigs, "id")
+
+    agree = sum(
+        F.when(F.col(f"h{k}") == F.col(f"_hh{k}"), 1).otherwise(0)
+        for k in range(num_hashes)
+    )
+    cand = batch_bands.join(
+        hist_bands.select(
+            "band_idx",
+            "band_hash",
+            F.col("id").alias("_sig_id"),
+            *[F.col(f"h{k}").alias(f"_hh{k}") for k in range(num_hashes)],
+        ),
+        ["band_idx", "band_hash"],
+    )
+    per_sig = (
+        cand.groupBy("id", "_sig_id")
+        .agg(F.max(agree).alias("_agree"))
+        .withColumn(
+            "_est", F.round(F.col("_agree").cast("double") / num_hashes, 6)
+        )
+    )
+    return per_sig.groupBy(F.col("id").alias(id_col)).agg(
+        F.max("_est").alias("est_jaccard_max"),
+        F.countDistinct("_sig_id").cast("long").alias("n_matched_sigs"),
+    )

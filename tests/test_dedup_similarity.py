@@ -489,3 +489,37 @@ def test_dedup_index_is_value_distinct_and_unionable(spark):
     assert union_h == sorted(r[0] for r in hfull.collect())
     union_b = sorted(map(tuple, ba.unionByName(bb).distinct().collect()))
     assert union_b == sorted(map(tuple, bfull.collect()))
+
+
+def test_dedup_incremental_verify_estimates(spark):
+    """An exact dup of history estimates jaccard 1.0; a near dup lands
+    in (0, 1]; unrelated text matches no history signature at all."""
+    hist = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),  # dup content
+            (3, "completely different content about databases"),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = D.build_signature_index(hist)
+    assert sigs.count() == 2  # value-distinct: 3 docs, 2 signatures
+    batch = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),
+            (11, "the quick brown fox jumped over the lazy dog"),
+            (12, "totally unrelated text regarding astronomy here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in D.dedup_incremental_verify(batch, sigs).collect()}
+    assert out[10]["est_jaccard_max"] == 1.0 and out[10]["n_matched_sigs"] == 1
+    assert 0 < out[11]["est_jaccard_max"] <= 1.0
+    assert 12 not in out  # no shared band with any history signature
+
+
+def test_dedup_incremental_verify_rejects_bad_index(spark):
+    batch = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    bad = spark.createDataFrame([("a",)], "content_hash string")
+    with pytest.raises(ValueError, match="no h"):
+        D.dedup_incremental_verify(batch, bad)
