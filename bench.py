@@ -63,6 +63,7 @@ EXTENDED = [
     "dedup_incremental",
     "corpus_report",
     "dedup_incremental_verify",
+    "scrub_transcripts",
 ]
 
 

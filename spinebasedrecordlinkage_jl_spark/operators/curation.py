@@ -135,7 +135,12 @@ def pii_scrub(
     return docs.select(
         F.col(id_col),
         scrubbed.alias("text_scrubbed"),
-        (n_emails + n_nums).cast("long").alias("n_redactions"),
+        # size(NULL) is -1 in Spark, not NULL: a NULL-text document must
+        # count 0 redactions, not -2
+        F.when(text.isNull(), F.lit(0))
+        .otherwise(n_emails + n_nums)
+        .cast("long")
+        .alias("n_redactions"),
     )
 
 

@@ -240,3 +240,52 @@ def transcript_checks(
         F.when(F.col("starts_ok") == 0, F.lit("bad_start")),
     )
     return out.withColumn("keep", keep.cast("int")).withColumn("reasons", reasons)
+
+
+def scrub_transcripts(
+    transcripts: DataFrame, return_report: bool = False
+):
+    """Turn-level PII redaction over a raw transcripts table — the
+    safety pass a conversation corpus takes BEFORE records aggregation,
+    linkage, or training export. Applies the same conservative email /
+    long-digit-run patterns as ``curation.pii_scrub`` (Java-regex ∩ RE2,
+    so the SQL oracle replays them byte-for-byte) to every turn's text.
+
+    Returns a frame with the SAME transcript schema (text replaced,
+    plus an ``n_redactions`` count per turn) so it drops into any
+    existing consumer; with ``return_report=True`` also a
+    per-conversation audit frame (conv_id, n_redactions,
+    n_turns_redacted) — the number a privacy review asks for first.
+
+    100 TB shape: the scrub is pure codegen regexp work, map-side over
+    the turn table (no shuffle); only the optional report aggregates,
+    keyed on conv_id like every other per-conversation stage."""
+    from .curation import EMAIL_PATTERN, LONG_NUMBER_PATTERN
+
+    text = F.col("text")
+    n_emails = F.size(F.regexp_extract_all(text, F.lit(EMAIL_PATTERN), 0))
+    no_email = F.regexp_replace(text, EMAIL_PATTERN, "<EMAIL>")
+    n_nums = F.size(F.regexp_extract_all(no_email, F.lit(LONG_NUMBER_PATTERN), 0))
+    scrubbed = F.regexp_replace(no_email, LONG_NUMBER_PATTERN, "<NUMBER>")
+    # size(NULL) is -1 in Spark (not NULL) — a NULL-text turn must count
+    # 0 redactions, not -2
+    n_red = F.when(text.isNull(), F.lit(0)).otherwise(n_emails + n_nums).cast("long")
+
+    out = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        scrubbed.alias("text"),
+        "tool",
+        "ts",
+        n_red.alias("n_redactions"),
+    )
+    if not return_report:
+        return out
+    report = out.groupBy("conv_id").agg(
+        F.sum("n_redactions").cast("long").alias("n_redactions"),
+        F.sum((F.col("n_redactions") > 0).cast("int")).cast("long").alias(
+            "n_turns_redacted"
+        ),
+    )
+    return out, report

@@ -178,3 +178,45 @@ def test_transcript_checks_null_role_and_disabled_start(spark):
     assert row["n_bad_role"] == 1  # NULL role counts as invalid
     assert row["starts_ok"] == 1  # opening-role check disabled
     assert row["reasons"] == "bad_role"
+
+
+def test_scrub_transcripts_redacts_and_preserves_schema(spark):
+    import datetime as dt
+
+    from spinebasedrecordlinkage_jl_spark.operators.records import scrub_transcripts
+
+    ts = dt.datetime(2026, 1, 1)
+    rows = [
+        ("c1", 0, "user", "mail me at jane.doe@example.com or call 0301 555 8812 ok", None, ts),
+        ("c1", 1, "assistant", "sure thing", None, ts),
+        ("c2", 0, "user", None, None, ts),  # NULL text stays NULL, 0 redactions
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    out, report = scrub_transcripts(df, return_report=True)
+    got = {(r["conv_id"], r["turn_idx"]): r for r in out.collect()}
+    scrubbed = got[("c1", 0)]
+    assert "<EMAIL>" in scrubbed["text"] and "<NUMBER>" in scrubbed["text"]
+    assert "example.com" not in scrubbed["text"] and "8812" not in scrubbed["text"]
+    assert scrubbed["n_redactions"] == 2
+    assert got[("c1", 1)]["text"] == "sure thing" and got[("c1", 1)]["n_redactions"] == 0
+    assert got[("c2", 0)]["text"] is None and got[("c2", 0)]["n_redactions"] == 0
+    # same transcript columns out (plus the count) -> drop-in consumer
+    assert out.columns == ["conv_id", "turn_idx", "role", "text", "tool", "ts", "n_redactions"]
+
+    rep = {r["conv_id"]: r for r in report.collect()}
+    assert rep["c1"]["n_redactions"] == 2 and rep["c1"]["n_turns_redacted"] == 1
+    assert rep["c2"]["n_redactions"] == 0
+
+
+def test_scrubbed_transcripts_feed_records(spark):
+    """The scrub output (minus the count) flows through
+    conversation_records unchanged in shape."""
+    from spinebasedrecordlinkage_jl_spark.operators.records import scrub_transcripts
+    from spinebasedrecordlinkage_jl_spark.sources import synthesize_transcripts
+
+    t, _ = synthesize_transcripts(spark, n_entities=10, seed=5)
+    rec = conversation_records(scrub_transcripts(t).drop("n_redactions"))
+    assert rec.count() > 0 and "EntityId" not in rec.columns
+    assert {"conv_id", "turns", "norm_text"} <= set(rec.columns)
