@@ -64,6 +64,7 @@ EXTENDED = [
     "corpus_report",
     "dedup_incremental_verify",
     "scrub_transcripts",
+    "sessionize",
 ]
 
 

@@ -89,3 +89,54 @@ def asof_join(
     if how == "inner":
         return picked.drop("_asof_lid")
     return left.join(picked, on=left.columns, how="left").drop("_asof_lid")
+
+
+def sessionize(
+    events: DataFrame,
+    gap_seconds: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Gap-based sessionization: within each ``key_col``, a new session
+    starts whenever the time since the previous event exceeds
+    ``gap_seconds`` — the batch analogue of the streaming session
+    window (``streaming.records`` uses ``F.session_window``; this is
+    the same boundary rule over bounded data).
+
+    Output: the input columns + ``session_seq`` (1-based session index
+    within the key) and ``session_id`` (key + '#' + seq, globally
+    unique). ``order_cols`` breaks timestamp ties deterministically
+    (pass the event's unique id).
+
+    100 TB shape: two window functions over the SAME
+    (partitionBy key, orderBy ts) spec — one shuffle on the key, which
+    is high-cardinality by construction (users/devices/conversations);
+    Catalyst computes lag and the running sum in a single Window exec.
+    No driver-side state, no iteration.
+    """
+    from pyspark.sql import Window
+
+    if gap_seconds <= 0:
+        raise ValueError(f"gap_seconds must be positive, got {gap_seconds}")
+    order = [F.col(ts_col), *[F.col(c) for c in order_cols]]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    # microsecond-exact integer arithmetic: a seconds-granularity cast
+    # would truncate fractional seconds and misplace boundaries that
+    # fall inside the truncated fraction. unix_micros needs TIMESTAMP;
+    # the cast is a no-op for ltz and, under this engine's pinned-UTC
+    # sessions (session.get_spark), an exact reinterpretation for ntz.
+    micros = lambda c: F.unix_micros(c.cast("timestamp"))
+    gap_us = int(gap_seconds) * 1_000_000
+    is_new = F.when(
+        prev_ts.isNull() | (micros(F.col(ts_col)) - micros(prev_ts) > gap_us),
+        1,
+    ).otherwise(0)
+    seq = F.sum(is_new).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.withColumn("session_seq", seq.cast("long")).withColumn(
+        "session_id",
+        F.concat(F.col(key_col).cast("string"), F.lit("#"), F.col("session_seq")),
+    )

@@ -87,3 +87,38 @@ def test_asof_rejects_bad_args(spark):
         asof_join(left, right, ["k"], "t", "rt", direction="nearest")
     with pytest.raises(ValueError):
         asof_join(left, right, ["k"], "t", "rt", how="full")
+
+
+def test_sessionize_gap_boundaries(spark):
+    """Events exactly AT the gap stay in-session; one microsecond past
+    it starts a new one; each key numbers its own sessions from 1."""
+    import datetime as dt
+
+    from spinebasedrecordlinkage_jl_spark.operators.temporal import sessionize
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = [
+        (1, 100, t0),
+        (2, 100, t0 + dt.timedelta(seconds=60)),                    # == gap: same session
+        (3, 100, t0 + dt.timedelta(seconds=120, microseconds=1)),   # gap+1us: new session
+        (4, 100, t0 + dt.timedelta(seconds=130)),
+        (5, 200, t0),                                               # other key: seq restarts
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    out = {
+        r["event_id"]: (r["session_seq"], r["session_id"])
+        for r in sessionize(df, 60, order_cols=("event_id",)).collect()
+    }
+    assert out[1] == (1, "100#1") and out[2] == (1, "100#1")
+    assert out[3] == (2, "100#2") and out[4] == (2, "100#2")
+    assert out[5] == (1, "200#1")
+
+
+def test_sessionize_rejects_bad_gap(spark):
+    from spinebasedrecordlinkage_jl_spark.operators.temporal import sessionize
+
+    df = spark.createDataFrame([(1, 1)], "event_id long, user_id long")
+    import pytest
+
+    with pytest.raises(ValueError, match="gap_seconds"):
+        sessionize(df, 0)
