@@ -131,3 +131,29 @@ def test_pack_sequences_doc_window_is_bucket_partitioned(plans):
     assert specs, "no window in pack_sequences plan"
     doc_windows = [s for s in specs if "_bucket" in s.split(",")[0]]
     assert doc_windows, f"doc-level window lost its _bucket partition: {specs}"
+
+
+def test_sessionize_single_shuffle_two_windows(plans):
+    """sessionize's contract: lag and the running sum share one
+    (key, ts) window spec — ONE Exchange, both Window execs downstream
+    of it. A second Exchange means the specs diverged and the corpus
+    shuffles twice."""
+    import re
+
+    plan = plans["sessionize"]
+    nodes = re.findall(r"\(\d+\) (\w*Exchange|Window)", plan)
+    assert nodes.count("Exchange") == 1, nodes
+    assert nodes.count("Window") == 2, nodes
+
+
+def test_corpus_mix_broadcasts_rates_never_shuffles_corpus(plans):
+    """corpus_mix's contract: the per-source rates ride a
+    BroadcastExchange back onto the corpus; the only hash Exchange is
+    the tiny rates aggregation. The corpus side must reach the join
+    without an Exchange of its own."""
+    import re
+
+    plan = plans["corpus_mix"]
+    assert "BroadcastHashJoin" in plan
+    hash_exchanges = re.findall(r"\(\d+\) Exchange", plan)
+    assert len(hash_exchanges) == 1, plan[:2000]
