@@ -5,6 +5,11 @@
     python -m spinebasedrecordlinkage_jl_spark.cli summarise <run_dir> <outfile.csv>
     python -m spinebasedrecordlinkage_jl_spark.cli compare <run_dir1> <run_dir2> <outfile.csv>
 
+plus one engine extension beyond the reference's surface:
+
+    python -m spinebasedrecordlinkage_jl_spark.cli curate <docs> <outdir>
+        [--mix-budget N --mix-weights 'web=0.6,code=0.4']
+
 Deployment: ship the package via ``spark-submit --py-files spinelink.zip
 cli.py run config.toml`` — the driver loop is the only Python that runs
 on the driver; all data movement is Spark jobs.
@@ -125,6 +130,63 @@ def cmd_compare(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """One-command corpus curation: quality gate -> exact-dedup
+    canonicals -> (optional) token-budget source mixing -> sharded
+    parquet output, with before/after per-source datasheets written as
+    one report CSV. The whole keep-decision is lazy Spark plans over
+    the input scan; the only materializations are the two reports and
+    the final sharded write."""
+    from pyspark.sql import functions as F
+
+    from .operators import curation as C
+    from .operators import dedup as D
+    from .functions.text import ws_token_count
+    from .sinks import shard_manifest, write_corpus_shards
+
+    spark = get_spark("spinelink:curate")
+    docs = read_table(spark, args.docs)
+    for col in ("doc_id", "source", "text"):
+        if col not in docs.columns:
+            raise SystemExit(f"curate: input is missing required column {col!r}")
+
+    before = C.corpus_report(docs).toPandas().assign(stage="input")
+
+    kept = docs.join(C.quality_filter(docs).filter("keep"), "doc_id", "left_semi")
+    canon = kept.join(
+        D.exact_dedup(kept).select(F.col("keep_id").alias("doc_id")),
+        "doc_id",
+        "left_semi",
+    )
+    if args.mix_budget:
+        weights = dict(
+            (kv.split("=")[0], float(kv.split("=")[1])) for kv in args.mix_weights.split(",")
+        )
+        toks = canon.withColumn("n_tokens", ws_token_count(F.col("text")))
+        canon = C.corpus_mix(toks, weights, args.mix_budget).drop("n_tokens")
+
+    n_kept = canon.count()
+    if n_kept == 0:
+        raise SystemExit(
+            "curate: 0 documents survived the pipeline (quality gate / dedup / "
+            "mix) — nothing written; inspect the input with corpus_report"
+        )
+    write_corpus_shards(
+        canon,
+        str(Path(args.outdir) / "corpus"),
+        max_records_per_file=args.max_records_per_file,
+        partition_by="source",
+    )
+    out_docs = read_table(spark, str(Path(args.outdir) / "corpus"))
+    after = C.corpus_report(out_docs).toPandas().assign(stage="output")
+    _write_report([before, after], str(Path(args.outdir) / "report.csv"))
+    shard_manifest(spark, str(Path(args.outdir) / "corpus")).toPandas().to_csv(
+        str(Path(args.outdir) / "manifest.csv"), index=False
+    )
+    print(args.outdir)
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="spinelink")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -144,6 +206,14 @@ def main(argv=None) -> int:
     c.add_argument("rundir2")
     c.add_argument("outfile")
     c.set_defaults(fn=cmd_compare)
+
+    cu = sub.add_parser("curate", help="curate a documents corpus into training shards")
+    cu.add_argument("docs", help="input documents table (parquet/csv/jsonl)")
+    cu.add_argument("outdir", help="output directory (corpus/, report.csv, manifest.csv)")
+    cu.add_argument("--mix-budget", type=int, default=0, help="token budget for source mixing (0 = no mixing)")
+    cu.add_argument("--mix-weights", default="", help="source weights, e.g. 'web=0.6,code=0.4'")
+    cu.add_argument("--max-records-per-file", type=int, default=100_000)
+    cu.set_defaults(fn=cmd_curate)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -97,3 +97,68 @@ def test_cli_resume_flag(spark, tmp_path):
     assert cli.main(["run", str(cfg), "--resume"]) == 0
     after = sorted(map(tuple, spark.read.parquet(f"{run1}/output/links").collect()))
     assert before == after
+
+
+def test_cli_curate_end_to_end(spark, tmp_path):
+    """curate: quality gate -> exact-dedup canonical -> mixed -> shards
+    + before/after report + manifest, from one command."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    good = (
+        "this is a perfectly reasonable document with enough plain words "
+        "that the quality gate will let it through because it is long and "
+        "has the usual stopword density of real prose "
+    )
+    rows = [(i, "web" if i % 2 == 0 else "code", good + f"tail {i}") for i in range(40)]
+    rows += [(100, "web", "too short")]          # quality-dropped
+    rows += [(101, "web", rows[0][2])]           # exact dup of doc 0 -> dropped
+    docs_path = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, source string, text string").write.parquet(docs_path)
+
+    out = str(tmp_path / "curated")
+    assert cli.main(["curate", docs_path, out, "--max-records-per-file", "10"]) == 0
+
+    corpus = spark.read.parquet(f"{out}/corpus")
+    ids = {r["doc_id"] for r in corpus.select("doc_id").collect()}
+    assert 100 not in ids and 101 not in ids and 0 in ids
+    assert len(ids) == 40
+
+    report = pd.read_csv(f"{out}/report.csv")
+    assert set(report["stage"]) == {"input", "output"}
+    assert report[report.stage == "output"]["quality_pass_rate"].min() == 1.0
+
+    manifest = pd.read_csv(f"{out}/manifest.csv")
+    assert manifest["n_records"].sum() == 40
+    assert manifest["n_records"].max() <= 10
+
+
+def test_cli_curate_with_mixing(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    good = (
+        "this is a perfectly reasonable document with enough plain words "
+        "that the quality gate will let it through because it is long and "
+        "has the usual stopword density of real prose "
+    )
+    rows = [(i, "web" if i % 2 == 0 else "code", good + f"tail {i}") for i in range(60)]
+    docs_path = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, source string, text string").write.parquet(docs_path)
+    out = str(tmp_path / "mixed")
+    assert cli.main([
+        "curate", docs_path, out,
+        "--mix-budget", "300", "--mix-weights", "web=0.8,code=0.2",
+    ]) == 0
+    corpus = spark.read.parquet(f"{out}/corpus")
+    n = corpus.count()
+    assert 0 < n < 60  # the budget genuinely subsampled
+    assert "n_tokens" not in corpus.columns  # helper column dropped
+
+
+def test_cli_curate_missing_column(spark, tmp_path):
+    p = str(tmp_path / "bad.parquet")
+    spark.range(3).write.parquet(p)
+    import pytest
+
+    with pytest.raises(SystemExit, match="missing required column"):
+        cli.main(["curate", p, str(tmp_path / "o")])
