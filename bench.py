@@ -65,6 +65,7 @@ EXTENDED = [
     "dedup_incremental_verify",
     "scrub_transcripts",
     "sessionize",
+    "truncate_conversations",
 ]
 
 

@@ -289,3 +289,54 @@ def scrub_transcripts(
         ),
     )
     return out, report
+
+
+def truncate_conversations(
+    transcripts: DataFrame,
+    max_tokens: int,
+    count_tokens: Column | None = None,
+) -> DataFrame:
+    """Context-window preparation for conversation data: keep each
+    conversation's PREFIX of turns whose running token total fits
+    ``max_tokens`` — the turn-granular analogue of cutting a document
+    at the context length (a turn is never split; a first turn larger
+    than the budget drops its whole conversation, the honest reading
+    of "does not fit").
+
+    ``count_tokens``: expression producing the per-turn token count
+    (default: whitespace tokens of ``text``; NULL text counts 0).
+
+    Output: the input columns + ``n_turn_tokens`` and ``cum_tokens``
+    (the running total INCLUDING the turn), filtered to
+    ``cum_tokens <= max_tokens``.
+
+    100 TB shape: one window (partitionBy conv_id, orderBy turn_idx —
+    the same key every per-conversation stage shuffles on; a
+    conversation's turns always fit one partition) computing the
+    cumulative sum, then a map-side filter. No second pass, no
+    per-conversation collect.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.text import ws_token_count
+
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be positive, got {max_tokens}")
+    # NULL text counts 0 — guarded with when(), not coalesce: Spark's
+    # size() over the NULL split returns -1, not NULL
+    tok = (
+        count_tokens
+        if count_tokens is not None
+        else F.when(F.col("text").isNull(), F.lit(0)).otherwise(
+            ws_token_count(F.col("text"))
+        )
+    )
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = transcripts.withColumn("n_turn_tokens", tok.cast("long")).withColumn(
+        "cum_tokens", F.sum("n_turn_tokens").over(w)
+    )
+    return out.filter(F.col("cum_tokens") <= max_tokens)

@@ -220,3 +220,38 @@ def test_scrubbed_transcripts_feed_records(spark):
     rec = conversation_records(scrub_transcripts(t).drop("n_redactions"))
     assert rec.count() > 0 and "EntityId" not in rec.columns
     assert {"conv_id", "turns", "norm_text"} <= set(rec.columns)
+
+
+def test_truncate_conversations_prefix_semantics(spark):
+    import datetime as dt
+
+    from spinebasedrecordlinkage_jl_spark.operators.records import (
+        truncate_conversations,
+    )
+
+    ts = dt.datetime(2026, 1, 1)
+    rows = [
+        # c1: 4+4+4 tokens, budget 10 -> first two turns kept
+        ("c1", 0, "user", "one two three four", None, ts),
+        ("c1", 1, "assistant", "a b c d", None, ts),
+        ("c1", 2, "user", "e f g h", None, ts),
+        # c2: first turn alone exceeds the budget -> conversation dropped
+        ("c2", 0, "user", " ".join(str(i) for i in range(20)), None, ts),
+        # c3: NULL text counts zero tokens and is kept
+        ("c3", 0, "user", None, None, ts),
+        ("c3", 1, "assistant", "x y", None, ts),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    out = truncate_conversations(df, max_tokens=10)
+    got = {(r["conv_id"], r["turn_idx"]): r for r in out.collect()}
+    assert set(got) == {("c1", 0), ("c1", 1), ("c3", 0), ("c3", 1)}
+    assert got[("c1", 1)]["cum_tokens"] == 8
+    assert got[("c3", 0)]["n_turn_tokens"] == 0  # NULL text, not -1
+    assert got[("c3", 1)]["cum_tokens"] == 2
+
+    import pytest
+
+    with pytest.raises(ValueError, match="max_tokens"):
+        truncate_conversations(df, 0)
