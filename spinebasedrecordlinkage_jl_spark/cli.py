@@ -159,14 +159,34 @@ def cmd_curate(args) -> int:
         "left_semi",
     )
     if args.mix_budget:
-        weights = dict(
-            (kv.split("=")[0], float(kv.split("=")[1])) for kv in args.mix_weights.split(",")
-        )
+        weights = {}
+        for kv in args.mix_weights.split(","):
+            kv = kv.strip()
+            if not kv:
+                continue
+            name, sep, value = kv.partition("=")
+            if not sep or not name.strip():
+                raise SystemExit(
+                    f"curate: malformed --mix-weights entry {kv!r} "
+                    "(expected 'source=weight,source=weight,...')"
+                )
+            try:
+                weights[name.strip()] = float(value)
+            except ValueError:
+                raise SystemExit(
+                    f"curate: non-numeric weight in --mix-weights entry {kv!r}"
+                )
+        if not weights:
+            raise SystemExit(
+                "curate: --mix-budget requires --mix-weights "
+                "(e.g. --mix-weights 'web=0.6,code=0.4')"
+            )
         toks = canon.withColumn("n_tokens", ws_token_count(F.col("text")))
         canon = C.corpus_mix(toks, weights, args.mix_budget).drop("n_tokens")
 
-    n_kept = canon.count()
-    if n_kept == 0:
+    # take(1), not count(): the guard only needs existence, and count()
+    # would materialize the whole gate+dedup+mix pipeline an extra time
+    if not canon.take(1):
         raise SystemExit(
             "curate: 0 documents survived the pipeline (quality gate / dedup / "
             "mix) — nothing written; inspect the input with corpus_report"

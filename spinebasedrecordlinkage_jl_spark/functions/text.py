@@ -24,16 +24,21 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 
 def ws_token_count(text: Column) -> Column:
-    """Whitespace token count (split on runs of spaces)."""
-    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
-        F.size(F.split(F.trim(text), r"\s+"))
-    ).cast("long")
+    """Whitespace token count (split on runs of spaces). NULL text
+    counts 0 — guarded explicitly, because Spark's ``size()`` over the
+    NULL split returns -1, not NULL."""
+    return F.when(
+        text.isNull() | (F.length(F.trim(text)) == 0), F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(text), r"\s+"))).cast("long")
 
 
 def alnum_token_count(text: Column) -> Column:
     """BPE-ish token count: alphanumeric runs (the pre-tokenizer split
-    most BPE vocabularies start from)."""
-    return F.size(F.regexp_extract_all(text, F.lit(r"[A-Za-z0-9]+"), 0)).cast("long")
+    most BPE vocabularies start from). NULL text counts 0 (same
+    size(NULL) = -1 guard as ws_token_count)."""
+    return F.when(text.isNull(), F.lit(0)).otherwise(
+        F.size(F.regexp_extract_all(text, F.lit(r"[A-Za-z0-9]+"), 0))
+    ).cast("long")
 
 
 def punct_ratio(text: Column) -> Column:

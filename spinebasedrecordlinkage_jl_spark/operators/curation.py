@@ -471,19 +471,28 @@ def pack_sequences(
 
     bounds = docs.agg(F.min("_id"), F.max("_id")).first()
     if bounds[0] is None:
+        zero = F.lit(0).cast("long")
         return docs.select(
             F.col("_id").alias(id_col),
             F.col("_tok").alias(tokens_col),
-            F.col("_tok").alias("tok_offset"),
-            F.col("_tok").alias("bin_first"),
-            F.col("_tok").alias("bin_last"),
+            zero.alias("tok_offset"),
+            zero.alias("bin_first"),
+            zero.alias("bin_last"),
         )
     lo, hi = int(bounds[0]), int(bounds[1])
     span = hi - lo + 1
     n_buckets = max(1, min(n_buckets, span))
     # order-preserving equal-width id-range bucket; ids need not be dense
-    # (skew across buckets only skews level-1 parallelism, not results)
-    bucket = F.floor(((F.col("_id") - lo) * n_buckets) / span).cast("long")
+    # (skew across buckets only skews level-1 parallelism, not results).
+    # Bucket by DIVISION with a Python-computed width: the multiply form
+    # ((_id - lo) * n_buckets) overflows long for 63-bit id spans (e.g.
+    # xxhash64-derived ids), silently breaking bucket monotonicity.
+    width = (span + n_buckets - 1) // n_buckets
+    # `div` = integer division (Column `/` is double division, which
+    # loses exactness past 2^53 — same silent-corruption class)
+    bucket = F.expr(
+        f"(_id - CAST({lo} AS BIGINT)) div CAST({width} AS BIGINT)"
+    ).cast("long")
     docs = docs.withColumn("_bucket", bucket)
 
     w_intra = (

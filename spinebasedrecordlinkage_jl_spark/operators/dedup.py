@@ -524,14 +524,24 @@ def dedup_incremental(
     (high-cardinality, no skew); history documents themselves are never
     read. Left-semi/left-outer joins keep it one pass over the batch.
     """
+    # The index layers are value-distinct BY CONTRACT (build_dedup_index
+    # produces them distinct; refreshes are union+distinct) — no
+    # re-distinct here, which would re-shuffle the full index on every
+    # call (stream_dedup_incremental calls this per micro-batch). The
+    # batch-sized dropDuplicates below keeps the output correct even if
+    # a caller hands in a non-distinct hash frame.
     hashed = new_docs.select(
         F.col(id_col), F.md5(F.col(text_col)).alias("content_hash")
     )
-    exact = hashed.join(
-        history_hashes.select("content_hash").distinct().withColumn("_x", F.lit(1)),
-        "content_hash",
-        "left",
-    ).select(id_col, F.coalesce(F.col("_x"), F.lit(0)).alias("exact_dup"))
+    exact = (
+        hashed.join(
+            history_hashes.select("content_hash").withColumn("_x", F.lit(1)),
+            "content_hash",
+            "left",
+        )
+        .select(id_col, F.coalesce(F.col("_x"), F.lit(0)).alias("exact_dup"))
+        .dropDuplicates([id_col])
+    )
 
     batch_bands = minhash_bands(
         minhash_signatures(new_docs, text_col, id_col, num_hashes, shingle_n, max_chars),
@@ -539,7 +549,9 @@ def dedup_incremental(
     )
     band_hits = (
         batch_bands.join(
-            history_bands.select("band_idx", "band_hash").distinct(),
+            # left_semi never multiplies left rows, so right-side dups
+            # cannot skew the per-document band-hit count
+            history_bands.select("band_idx", "band_hash"),
             ["band_idx", "band_hash"],
             "left_semi",
         )

@@ -162,3 +162,19 @@ def test_cli_curate_missing_column(spark, tmp_path):
 
     with pytest.raises(SystemExit, match="missing required column"):
         cli.main(["curate", p, str(tmp_path / "o")])
+
+
+def test_cli_curate_mix_weight_errors(spark, tmp_path):
+    import pytest
+
+    p = str(tmp_path / "d.parquet")
+    spark.createDataFrame(
+        [(1, "web", "some text")], "doc_id long, source string, text string"
+    ).write.parquet(p)
+    out = str(tmp_path / "o")
+    with pytest.raises(SystemExit, match="requires --mix-weights"):
+        cli.main(["curate", p, out, "--mix-budget", "100"])
+    with pytest.raises(SystemExit, match="malformed --mix-weights"):
+        cli.main(["curate", p, out, "--mix-budget", "100", "--mix-weights", "web"])
+    with pytest.raises(SystemExit, match="non-numeric weight"):
+        cli.main(["curate", p, out, "--mix-budget", "100", "--mix-weights", "web=x"])

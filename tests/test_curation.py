@@ -329,3 +329,38 @@ def test_corpus_report_pass_rate_matches_quality_filter(spark, tmp_path):
     )
     kept = C.quality_filter(docs).filter("keep").count()
     assert abs(total_rate - kept / docs.count()) < 1e-6
+
+
+def test_pack_sequences_63bit_sparse_ids(spark):
+    """xxhash64-style id spans (~2^63): the multiply-form bucket index
+    would overflow long and scramble offsets; the division form must
+    keep the exact global order."""
+    ids = [-(2**62), -(2**40), 0, 2**40, 2**62 - 1]
+    df = spark.createDataFrame(
+        [(i, k + 3) for k, i in enumerate(ids)], "doc_id long, n_tokens long"
+    )
+    out = sorted(
+        C.pack_sequences(df, context_len=4, n_buckets=256).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    run = 0
+    for r, (i, t) in zip(out, [(i, k + 3) for k, i in enumerate(ids)]):
+        assert (r["doc_id"], r["tok_offset"]) == (i, run)
+        run += t
+
+
+def test_corpus_report_null_text_counts_zero(spark):
+    """A NULL-text document contributes 0 tokens (not -1) and fails the
+    quality gate on both engine and oracle sides."""
+    good = (
+        "this is a perfectly reasonable document with enough plain words "
+        "that the quality gate will let it through because it is long and "
+        "has the usual stopword density of real prose."
+    )
+    df = spark.createDataFrame(
+        [(1, "web", good), (2, "web", None)], "doc_id long, source string, text string"
+    )
+    row = C.corpus_report(df).collect()[0]
+    good_tokens = row["total_tokens"]
+    assert good_tokens > 0  # NOT decremented by the NULL doc
+    assert row["n_docs"] == 2 and row["quality_pass_rate"] == 0.5
