@@ -381,8 +381,11 @@ def line_dedup(
         ).alias("text_deduped"),
         F.count("*").alias("n_lines_kept"),
     )
+    # NULL text has no lines (size(NULL) would count -1 and push
+    # n_lines_dropped negative)
+    n_lines = F.when(F.col(text_col).isNull(), F.lit(0)).otherwise(F.size(lines))
     return (
-        docs.select(F.col(id_col), F.size(lines).cast("long").alias("_n_lines"))
+        docs.select(F.col(id_col), n_lines.cast("long").alias("_n_lines"))
         .join(reassembled, id_col, "left")
         .select(
             id_col,

@@ -364,3 +364,12 @@ def test_corpus_report_null_text_counts_zero(spark):
     good_tokens = row["total_tokens"]
     assert good_tokens > 0  # NOT decremented by the NULL doc
     assert row["n_docs"] == 2 and row["quality_pass_rate"] == 0.5
+
+
+def test_line_dedup_null_text_zero_lines(spark):
+    df = spark.createDataFrame(
+        [(1, "a line"), (2, None)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in C.line_dedup(df).collect()}
+    assert got[2]["text_deduped"] == "" and got[2]["n_lines_kept"] == 0
+    assert got[2]["n_lines_dropped"] == 0  # not -1
