@@ -15,15 +15,40 @@ from spinebasedrecordlinkage_jl_spark.streaming.linkage import (
 DOC_SCHEMA = "doc_id long, text string"
 
 
+def _order_batches(in_dir):
+    """Spark's file source orders micro-batches by file MODIFICATION
+    TIME; under load two appends can land in the same timestamp and the
+    batch order flips. Call the returned function after EACH append to
+    pin that batch's files strictly later than the previous batch."""
+    import os
+    from pathlib import Path
+
+    seen: set = set()
+    counter = [0]
+
+    def next_batch():
+        t = 1_600_000_000 + counter[0] * 600
+        for f in sorted(Path(in_dir).glob("*.parquet")):
+            if f.name not in seen:
+                os.utime(f, (t, t))
+                seen.add(f.name)
+        counter[0] += 1
+
+    return next_batch
+
+
 def test_stream_exact_dedup_first_wins(spark, tmp_path):
     in_dir = str(tmp_path / "docs")
+    stamp = _order_batches(in_dir)
     # two batches of files with duplicates within and across batches
     spark.createDataFrame(
         [(1, "alpha"), (2, "beta"), (3, "alpha"), (4, "gamma")], DOC_SCHEMA
     ).coalesce(1).write.mode("append").parquet(in_dir)
+    stamp()
     spark.createDataFrame(
         [(5, "beta"), (6, "delta"), (7, "alpha")], DOC_SCHEMA
     ).coalesce(1).write.mode("append").parquet(in_dir)
+    stamp()
 
     stream = spark.readStream.schema(DOC_SCHEMA).option("maxFilesPerTrigger", 1).parquet(in_dir)
     out_dir = str(tmp_path / "out")
@@ -165,15 +190,18 @@ def test_stream_link_and_form_entities_across_batches(spark, tmp_path):
     ]
     schema = "EventId long, firstname string, lastname string"
     in_dir = str(tmp_path / "records")
+    stamp = _order_batches(in_dir)
     # batch 1 (one file): a spine hit + two fuzzy twins with no entity
     spark.createDataFrame(
         [(1, "john", "smith"), (2, "ada", "lovelace"), (3, "adda", "lovelace")],
         schema,
     ).coalesce(1).write.mode("append").parquet(in_dir)
+    stamp()
     # batch 2 (second file): matches the entity batch 1 must have formed
     spark.createDataFrame([(4, "ada", "lovelace")], schema).coalesce(1).write.mode(
         "append"
     ).parquet(in_dir)
+    stamp()
 
     links: dict[int, set] = {}
     spine_rows: dict[int, list] = {}
@@ -225,12 +253,15 @@ def test_stream_neardup_pairs_across_batches(spark, tmp_path):
     near = base.replace("yard", "yurd")  # few-shingle perturbation
     far = "completely unrelated text about spark structured streaming state stores"
     in_dir = str(tmp_path / "docs")
+    stamp = _order_batches(in_dir)
     spark.createDataFrame([(1, base), (2, far)], DOC_SCHEMA).coalesce(1).write.mode(
         "append"
     ).parquet(in_dir)
+    stamp()
     spark.createDataFrame([(3, near), (4, base)], DOC_SCHEMA).coalesce(1).write.mode(
         "append"
     ).parquet(in_dir)
+    stamp()
 
     stream = spark.readStream.schema(DOC_SCHEMA).option("maxFilesPerTrigger", 1).parquet(in_dir)
     out_dir = str(tmp_path / "out")
@@ -262,13 +293,16 @@ def test_stream_neardup_hot_bucket_tombstone(spark, tmp_path):
 
     text = "identical duplicate heavy text that lands in one bucket every time"
     in_dir = str(tmp_path / "docs")
+    stamp = _order_batches(in_dir)
     spark.createDataFrame(
         [(i, text) for i in range(1, 6)], DOC_SCHEMA
     ).coalesce(1).write.mode("append").parquet(in_dir)
+    stamp()
     # second batch arrives after the bucket went hot (cap=3)
     spark.createDataFrame([(10, text), (11, text)], DOC_SCHEMA).coalesce(1).write.mode(
         "append"
     ).parquet(in_dir)
+    stamp()
 
     stream = spark.readStream.schema(DOC_SCHEMA).option("maxFilesPerTrigger", 1).parquet(in_dir)
     out_dir = str(tmp_path / "out")
@@ -352,17 +386,20 @@ def test_stream_dedup_incremental_with_index_refresh(spark, tmp_path):
     )
     hist0.coalesce(1).write.parquet(hist_dir)
 
+    stamp = _order_batches(in_dir)
     # batch 1: one exact dup of history, one novel
     spark.createDataFrame(
         [(10, "the quick brown fox jumps over the lazy dog"),
          (11, "completely fresh text about telescopes and lenses")],
         DOC_SCHEMA,
     ).coalesce(1).write.mode("append").parquet(in_dir)
+    stamp()
     # batch 2: exact dup of batch-1's NOVEL doc -> only caught if the
     # index refresh picked it up
     spark.createDataFrame(
         [(20, "completely fresh text about telescopes and lenses")], DOC_SCHEMA
     ).coalesce(1).write.mode("append").parquet(in_dir)
+    stamp()
 
     def index_refresh():
         return build_dedup_index(spark.read.parquet(hist_dir))
