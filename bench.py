@@ -66,6 +66,7 @@ EXTENDED = [
     "scrub_transcripts",
     "sessionize",
     "truncate_conversations",
+    "compact_latest",
 ]
 
 

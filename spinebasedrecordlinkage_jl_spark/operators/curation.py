@@ -649,3 +649,39 @@ def corpus_report(
             F.sum((F.col("_lang") == "en").cast("int")).cast("long").alias("n_english"),
         )
     )
+
+
+def compact_latest(
+    df: DataFrame,
+    key_cols: list[str],
+    version_col: str,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Snapshot compaction: one row per key — the LATEST version wins
+    (highest ``version_col``; ties broken by ``tiebreak_cols`` then by
+    the remaining columns, so the result is deterministic even for
+    byte-identical duplicates). The CDC/upsert-log pattern: a corpus
+    re-crawled daily compacts to its current state before any dedup or
+    curation pass.
+
+    100 TB shape: a single partial-aggregatable ``max(struct(version,
+    tiebreaks, payload))`` groupBy — NOT a row_number window over the
+    key, which cannot combine map-side and serializes a key updated a
+    billion times into one partition (the same design decision as
+    ``line_dedup``'s min-struct).
+    """
+    missing = [c for c in [*key_cols, version_col] if c not in df.columns]
+    if missing:
+        raise ValueError(f"compact_latest: missing columns {missing}")
+    tiebreak_cols = list(tiebreak_cols or [])
+    payload = [
+        c for c in df.columns
+        if c not in key_cols and c != version_col and c not in tiebreak_cols
+    ]
+    ordered = [version_col, *tiebreak_cols, *payload]
+    packed = df.groupBy(*key_cols).agg(
+        F.max(F.struct(*[F.col(c) for c in ordered])).alias("_latest")
+    )
+    return packed.select(
+        *key_cols, *[F.col(f"_latest.{c}").alias(c) for c in ordered]
+    ).select(*df.columns)

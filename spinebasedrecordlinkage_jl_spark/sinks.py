@@ -23,9 +23,12 @@ def write_corpus_shards(
     partition_by: str | None = None,
     sort_within: list[str] | None = None,
     mode: str = "overwrite",
+    fmt: str = "parquet",
 ) -> None:
-    """Write ``df`` as parquet shards of at most ``max_records_per_file``
-    rows each.
+    """Write ``df`` as shards of at most ``max_records_per_file`` rows
+    each. ``fmt``: ``"parquet"`` (training-loader default) or
+    ``"json"`` (JSONL interchange — gzip-compressed, the format most
+    external tooling ingests).
 
     100 TB shape: this is a plain distributed write — no extra shuffle
     unless ``partition_by`` is set (then one hash repartition on that
@@ -51,7 +54,12 @@ def write_corpus_shards(
     writer = out.write.mode(mode).option("maxRecordsPerFile", max_records_per_file)
     if partition_by is not None:
         writer = writer.partitionBy(partition_by)
-    writer.parquet(path)
+    if fmt == "parquet":
+        writer.parquet(path)
+    elif fmt in {"json", "jsonl"}:
+        writer.option("compression", "gzip").json(path)
+    else:
+        raise ValueError(f"write_corpus_shards: unsupported fmt {fmt!r}")
 
 
 def shard_manifest(spark: SparkSession, path: str) -> DataFrame:

@@ -373,3 +373,33 @@ def test_line_dedup_null_text_zero_lines(spark):
     got = {r["doc_id"]: r for r in C.line_dedup(df).collect()}
     assert got[2]["text_deduped"] == "" and got[2]["n_lines_kept"] == 0
     assert got[2]["n_lines_dropped"] == 0  # not -1
+
+
+def test_compact_latest_wins_by_version_then_tiebreak(spark):
+    import datetime as dt
+
+    t = dt.datetime(2026, 1, 1)
+    rows = [
+        (1, t, 100, "view", 1.0, "old"),
+        (2, t + dt.timedelta(hours=1), 100, "view", 2.0, "new"),   # wins on ts
+        (3, t, 100, "click", 3.0, "only"),
+        (4, t, 200, "view", 4.0, "a"),
+        (5, t, 200, "view", 5.0, "b"),                              # same ts: wins on event_id
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    out = {
+        (r["user_id"], r["event_type"]): r
+        for r in C.compact_latest(
+            df, ["user_id", "event_type"], "ts", tiebreak_cols=["event_id"]
+        ).collect()
+    }
+    assert len(out) == 3
+    assert out[(100, "view")]["event_id"] == 2 and out[(100, "view")]["props"] == "new"
+    assert out[(100, "click")]["event_id"] == 3
+    assert out[(200, "view")]["event_id"] == 5  # ts tie -> higher event_id
+    assert list(out[(100, "view")].asDict()) == df.columns  # schema preserved
+
+    with pytest.raises(ValueError, match="missing columns"):
+        C.compact_latest(df, ["nope"], "ts")

@@ -49,3 +49,25 @@ def test_write_corpus_shards_rejects_bad_bound(spark, tmp_path):
     df = spark.range(3)
     with pytest.raises(ValueError, match="max_records_per_file"):
         write_corpus_shards(df, str(tmp_path / "x"), max_records_per_file=0)
+
+
+def test_jsonl_shards_roundtrip(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("t"), F.col("id")).alias("text")
+    )
+    out = str(tmp_path / "jl")
+    write_corpus_shards(df.repartition(3), out, max_records_per_file=40, fmt="json")
+    back = spark.read.json(out)
+    assert back.count() == 200
+    assert {r["doc_id"] for r in back.collect()} == set(range(200))
+    from pathlib import Path
+
+    files = list(Path(out).glob("*.json.gz"))
+    assert files, "expected gzip JSONL shard files"
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unsupported fmt"):
+        write_corpus_shards(df, out, 10, fmt="orcish")
