@@ -58,6 +58,48 @@ def test_rows_only_query_runs(spark, name):
     assert df.count() >= 0
 
 
+#: Spark type-name → pandas dtype prefixes the driver's value hash treats as
+#: the same scalar kind.  A LongType column surfacing as float64 (DuckDB
+#: HUGEINT, e.g. an uncast window sum) is exactly the drift this catches.
+_DTYPE_OK = {
+    "LongType": ("int", "uint"),
+    "IntegerType": ("int", "uint"),
+    "ShortType": ("int", "uint"),
+    "ByteType": ("int", "uint"),
+    "DoubleType": ("float", "double"),
+    "FloatType": ("float", "double"),
+    "BooleanType": ("bool",),
+    "StringType": ("string", "large_string"),
+    "TimestampType": ("timestamp",),
+    "TimestampNTZType": ("timestamp",),
+    "DateType": ("date",),
+}
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_oracle_dtype_canonical(spark, duck, name):
+    """Driver-faithful typing gate: the driver hashes raw values, so an
+    oracle column that DuckDB materializes as a wider type than Spark's
+    (HUGEINT from an uncast window sum → float64) hash-mismatches even when
+    every value is numerically equal (CORRECTNESS_r04 `pack_sequences`).
+    Compare the oracle's Arrow types (DuckDB's true result types; nullable
+    ints stay ints, HUGEINT surfaces as decimal128) against the Spark
+    schema class per column, before any value comparison."""
+    sdf = entry_mod.queries()[name](spark, SF_DIR)
+    stypes = {f.name.lower(): type(f.dataType).__name__ for f in sdf.schema.fields}
+    tbl = duck.execute(entry_mod.oracle_sql()[name]).arrow()
+    for field in tbl.schema:
+        stype = stypes[field.name.lower()]
+        allowed = _DTYPE_OK.get(stype)
+        if allowed is None:  # arrays/structs — value comparison covers them
+            continue
+        dt = str(field.type)
+        assert dt.startswith(allowed), (
+            f"{name}.{field.name}: oracle type {dt} vs Spark {stype} — "
+            f"add an explicit CAST in the oracle SQL"
+        )
+
+
 @pytest.mark.parametrize("name", ORACLE_NAMES)
 def test_oracle_parity(spark, duck, name):
     q = entry_mod.queries()[name]
