@@ -181,8 +181,26 @@ def cmd_curate(args) -> int:
                 "curate: --mix-budget requires --mix-weights "
                 "(e.g. --mix-weights 'web=0.6,code=0.4')"
             )
-        toks = canon.withColumn("n_tokens", ws_token_count(F.col("text")))
-        canon = C.corpus_mix(toks, weights, args.mix_budget).drop("n_tokens")
+        # compute the mix token count under a reserved temp name so a
+        # pre-existing user n_tokens column survives the round trip
+        if "_mix_n_tokens" in canon.columns:
+            raise SystemExit(
+                "curate: input already has a _mix_n_tokens column "
+                "(reserved by --mix-budget)"
+            )
+        in_cols = canon.columns
+        toks = canon.withColumn("_mix_n_tokens", ws_token_count(F.col("text")))
+        mixed, mix_plan = C.corpus_mix(
+            toks, weights, args.mix_budget,
+            tokens_col="_mix_n_tokens", return_plan=True,
+        )
+        canon = mixed.select(*in_cols)
+        # the per-source plan makes excluded sources (absent from
+        # --mix-weights, NULL rate) and undersupplied targets visible
+        Path(args.outdir).mkdir(parents=True, exist_ok=True)
+        mix_plan.toPandas().to_csv(
+            str(Path(args.outdir) / "mix_plan.csv"), index=False
+        )
 
     # take(1), not count(): the guard only needs existence, and count()
     # would materialize the whole gate+dedup+mix pipeline an extra time

@@ -578,18 +578,26 @@ def corpus_mix(
     for s, w in sorted(norm.items()):
         weight_col = F.when(F.col(source_col) == s, F.lit(w)).otherwise(weight_col)
 
-    avail = (
-        docs.filter(F.col(source_col).isin(*norm.keys()))
-        .groupBy(source_col)
-        .agg(F.sum(F.col(tokens_col).cast("long")).alias("_avail"))
+    # aggregate ALL sources (tiny frame either way): sources absent from
+    # ``weights`` surface in the plan with NULL target/rate instead of
+    # vanishing silently — and a NULL rate fails the sampling filter, so
+    # the output still contains only weighted sources
+    avail = docs.groupBy(source_col).agg(
+        F.sum(F.col(tokens_col).cast("long")).alias("_avail")
     )
     plan = avail.select(
         F.col(source_col),
         F.col("_avail").alias("available_tokens"),
         (F.lit(int(token_budget)) * weight_col).alias("target_tokens"),
-        F.least(
-            F.lit(1.0),
-            (F.lit(int(token_budget)) * weight_col) / F.col("_avail").cast("double"),
+        # guard on the weight: least() SKIPS nulls, so a bare
+        # least(1.0, NULL/avail) would give excluded sources rate 1.0
+        F.when(
+            weight_col.isNotNull(),
+            F.least(
+                F.lit(1.0),
+                (F.lit(int(token_budget)) * weight_col)
+                / F.col("_avail").cast("double"),
+            ),
         ).alias("rate"),
     )
     sampled = docs.join(

@@ -187,11 +187,18 @@ def transcript_checks(
             lambda t: t["text"].isNull() | (F.trim(t["text"]) == ""),
         )
     )
-    dup_idx = n - F.size(F.array_distinct(idxs))
-    contiguous = (
-        (F.array_min(idxs) == 0)
-        & (F.array_max(idxs) == F.size(F.array_distinct(idxs)) - 1)
-    ).cast("int")
+    # NULL turn_idx (reachable via malformed='null' JSONL ingest) follows
+    # SQL aggregate semantics: count(DISTINCT)/min/max drop NULLs, so a
+    # NULL index counts as a duplicate and can never satisfy contiguity
+    idxs_nn = F.filter(idxs, lambda x: x.isNotNull())
+    dup_idx = n - F.size(F.array_distinct(idxs_nn))
+    contiguous = F.coalesce(
+        (
+            (F.array_min(idxs_nn) == 0)
+            & (F.array_max(idxs_nn) == F.size(F.array_distinct(idxs_nn)) - 1)
+        ).cast("int"),
+        F.lit(0),
+    )
     starts_ok = (
         F.lit(1)
         if must_start_with is None

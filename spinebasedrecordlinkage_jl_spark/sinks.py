@@ -24,6 +24,7 @@ def write_corpus_shards(
     sort_within: list[str] | None = None,
     mode: str = "overwrite",
     fmt: str = "parquet",
+    salt_buckets: int | None = None,
 ) -> None:
     """Write ``df`` as shards of at most ``max_records_per_file`` rows
     each. ``fmt``: ``"parquet"`` (training-loader default) or
@@ -31,12 +32,17 @@ def write_corpus_shards(
     external tooling ingests).
 
     100 TB shape: this is a plain distributed write — no extra shuffle
-    unless ``partition_by`` is set (then one hash repartition on that
-    column so each directory partition is written by as few tasks as
-    possible instead of every task appending to every directory).
-    ``sort_within`` sorts rows inside each task's output
-    (sortWithinPartitions — NOT a global orderBy, which would be an
-    all-to-all range shuffle the loader doesn't need).
+    unless ``partition_by`` is set (then one hash repartition on
+    ``(partition_by, salt)`` so each directory partition is written by a
+    bounded number of tasks — ``salt_buckets``, default the session's
+    parallelism — instead of either one task per distinct value, which
+    serializes a skewed corpus where one source dominates, or every task
+    appending to every directory). The salt is ``spark_partition_id() %
+    salt_buckets``: deterministic under retry, no row hashing, and each
+    upstream partition lands whole in one bucket. ``sort_within`` sorts
+    rows inside each task's output (sortWithinPartitions — NOT a global
+    orderBy, which would be an all-to-all range shuffle the loader
+    doesn't need).
     """
     if max_records_per_file <= 0:
         raise ValueError(
@@ -44,7 +50,17 @@ def write_corpus_shards(
         )
     out = df
     if partition_by is not None:
-        out = out.repartition(F.col(partition_by))
+        if salt_buckets is None:
+            salt_buckets = df.sparkSession.sparkContext.defaultParallelism
+        if salt_buckets < 1:
+            raise ValueError(f"salt_buckets must be positive, got {salt_buckets}")
+        salt = F.pmod(F.spark_partition_id(), F.lit(salt_buckets))
+        # explicit numPartitions: a column-only repartition lets AQE
+        # coalesce the tiny shuffle back into one task, re-serializing
+        # the write; one writer wave of the session's parallelism is the
+        # right sink shape at any scale
+        n_parts = max(salt_buckets, df.sparkSession.sparkContext.defaultParallelism)
+        out = out.repartition(n_parts, F.col(partition_by), salt)
     if sort_within:
         # the file writer requires task ordering to START with the
         # partition columns (else it inserts its own sort by them,

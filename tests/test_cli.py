@@ -141,9 +141,18 @@ def test_cli_curate_with_mixing(spark, tmp_path):
         "that the quality gate will let it through because it is long and "
         "has the usual stopword density of real prose "
     )
-    rows = [(i, "web" if i % 2 == 0 else "code", good + f"tail {i}") for i in range(60)]
+    # the input carries its OWN n_tokens column (sentinel values): the
+    # mix must neither clobber nor drop it
+    rows = [
+        (i, "web" if i % 2 == 0 else "code", good + f"tail {i}", 7_000 + i)
+        for i in range(60)
+    ]
+    # a source absent from --mix-weights: excluded from output, visible in plan
+    rows += [(200, "books", good + "books tail", 9_999)]
     docs_path = str(tmp_path / "docs.parquet")
-    spark.createDataFrame(rows, "doc_id long, source string, text string").write.parquet(docs_path)
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string, n_tokens long"
+    ).write.parquet(docs_path)
     out = str(tmp_path / "mixed")
     assert cli.main([
         "curate", docs_path, out,
@@ -152,7 +161,15 @@ def test_cli_curate_with_mixing(spark, tmp_path):
     corpus = spark.read.parquet(f"{out}/corpus")
     n = corpus.count()
     assert 0 < n < 60  # the budget genuinely subsampled
-    assert "n_tokens" not in corpus.columns  # helper column dropped
+    got = {r["doc_id"]: r["n_tokens"] for r in corpus.collect()}
+    assert got and all(v == 7_000 + k for k, v in got.items())  # user column intact
+    assert "_mix_n_tokens" not in corpus.columns
+    assert 200 not in got  # unweighted source excluded from output ...
+    import pandas as pd
+
+    plan = pd.read_csv(f"{out}/mix_plan.csv")
+    assert "books" in set(plan["source"])  # ... but visible in the mix plan
+    assert plan.loc[plan.source == "books", "rate"].isna().all()
 
 
 def test_cli_curate_missing_column(spark, tmp_path):

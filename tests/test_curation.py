@@ -264,7 +264,11 @@ def test_corpus_mix_undersupplied_source_caps_at_one(spark):
     )
     # rare: avail 300, target 0.5*5000=2500 -> capped; big excluded
     out, plan = C.corpus_mix(df, {"rare": 1.0}, 5000, return_plan=True)
-    assert plan.collect()[0]["rate"] == 1.0
+    p = {r["source"]: r for r in plan.collect()}
+    assert p["rare"]["rate"] == 1.0
+    # excluded source is VISIBLE in the plan (NULL target/rate), not dropped
+    assert p["big"]["rate"] is None and p["big"]["target_tokens"] is None
+    assert p["big"]["available_tokens"] == 50 * 100
     assert {r["doc_id"] for r in out.collect()} == {0, 1, 2}  # all kept
 
 

@@ -164,6 +164,37 @@ def test_transcript_checks_flags_each_defect(spark):
     assert all(out[c]["keep"] == 0 for c in ("badrole", "empty", "dup", "gap", "badstart"))
 
 
+def test_transcript_checks_null_turn_idx_matches_sql_semantics(spark):
+    """NULL turn_idx (PERMISSIVE/'null' malformed ingest) follows SQL
+    aggregate NULL semantics: count(DISTINCT) drops NULLs, so the NULL
+    turn counts as a duplicate; an all-NULL conversation is
+    non-contiguous (0, not NULL)."""
+    import datetime as dt
+
+    ts = dt.datetime(2026, 1, 1)
+    df = spark.createDataFrame(
+        [
+            # 0,1 contiguous + one NULL idx -> dup=1, contiguous=1
+            ("nullidx", 0, "user", "a", None, ts),
+            ("nullidx", 1, "assistant", "b", None, ts),
+            ("nullidx", None, "user", "c", None, ts),
+            # every idx NULL -> dup=n, contiguous=0
+            ("allnull", None, "user", "a", None, ts),
+            ("allnull", None, "assistant", "b", None, ts),
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    from spinebasedrecordlinkage_jl_spark.operators.records import transcript_checks
+
+    out = {r["conv_id"]: r for r in transcript_checks(df).collect()}
+    assert out["nullidx"]["n_dup_turn_idx"] == 1
+    assert out["nullidx"]["contiguous"] == 1
+    assert "dup_turn_idx" in out["nullidx"]["reasons"]
+    assert out["allnull"]["n_dup_turn_idx"] == 2
+    assert out["allnull"]["contiguous"] == 0
+    assert out["allnull"]["keep"] == 0
+
+
 def test_transcript_checks_null_role_and_disabled_start(spark):
     import datetime as dt
 

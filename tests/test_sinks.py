@@ -45,6 +45,27 @@ def test_partitioned_layout_and_sorted_shards(spark, tmp_path):
     assert rows == sorted(rows)
 
 
+def test_dominant_partition_value_fans_out_across_tasks(spark, tmp_path):
+    """A skewed corpus (one source = ~100% of rows) must not serialize
+    through a single writer task: with salting, the dominant source's
+    directory is written by multiple tasks (multiple shard files even
+    though no file hits maxRecordsPerFile)."""
+    df = spark.range(800).select(
+        F.col("id").alias("doc_id"), F.lit("web").alias("source")
+    )
+    out = str(tmp_path / "skewed")
+    write_corpus_shards(
+        df.repartition(8), out, max_records_per_file=10_000,
+        partition_by="source", salt_buckets=4,
+    )
+    man = shard_manifest(spark, out).collect()
+    web_files = [r for r in man if "source=web" in r["shard_path"]]
+    assert len(web_files) >= 2, "dominant partition written by a single task"
+    assert sum(r["n_records"] for r in web_files) == 800
+    with pytest.raises(ValueError, match="salt_buckets"):
+        write_corpus_shards(df, out, 10, partition_by="source", salt_buckets=0)
+
+
 def test_write_corpus_shards_rejects_bad_bound(spark, tmp_path):
     df = spark.range(3)
     with pytest.raises(ValueError, match="max_records_per_file"):
