@@ -57,6 +57,7 @@ EXTENDED = [
     "media_decode",
     "image_dhash_pairs",
     "semantic_dedup",
+    "simhash_clusters",
     "pack_sequences",
     "transcript_checks",
     "corpus_mix",

@@ -290,14 +290,25 @@ def neardup_clusters(
     unrelated docs), CC runs on the hashes, and ``cluster_id`` is the
     cluster's minimum ORIGINAL id (one extra groupBy over the docs).
     """
-    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
-
-    from .spine import connected_components
-
     pairs = lsh_jaccard_verified(
         df, text_col, id_col, threshold, num_hashes, rows_per_band, shingle_n, max_chars,
         max_band_population=max_band_population,
     )
+    return _pairs_to_clusters(df, id_col, pairs, caller="neardup_clusters")
+
+
+def _pairs_to_clusters(
+    df: DataFrame, id_col: str, pairs: DataFrame, caller: str
+) -> DataFrame:
+    """Shared decision step of the cluster-tier dedup operators: verified
+    pair graph -> connected components -> (doc_id, cluster_id,
+    is_canonical), with the id-type handling documented on
+    :func:`neardup_clusters` (integral fast path; otherwise hashed node
+    ids with a collision audit)."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    from .spine import connected_components
+
     id_type = df.schema[id_col].dataType
     if isinstance(id_type, (ByteType, ShortType, IntegerType, LongType)):
         edges = pairs.select(F.col("id_1").alias("src"), F.col("id_2").alias("dst"))
@@ -320,7 +331,7 @@ def neardup_clusters(
     )
     if not dup_hashes.isEmpty():
         raise RuntimeError(
-            f"neardup_clusters: xxhash64 collision among distinct {id_col} values; "
+            f"{caller}: xxhash64 collision among distinct {id_col} values; "
             "dedupe or re-key the input ids"
         )
     edges = pairs.select(
@@ -397,10 +408,11 @@ def simhash_dedup(
     hash_family: str = "xxhash64",
     max_band_population: int | None = 100_000,
     return_purged: bool = False,
+    max_hamming: int | None = None,
 ):
     """Near-dup candidates: docs whose simhash matches on >=1 of the
     bits/band_bits bands (Hamming-distance LSH). Output (id_1, id_2,
-    hamming).
+    hamming), optionally thresholded to ``hamming <= max_hamming``.
 
     ``max_band_population``: same hot-bucket purge contract as
     ``minhash_lsh_pairs`` — a ``(band_idx, band_val)`` bucket shared by
@@ -411,6 +423,13 @@ def simhash_dedup(
     yields the ``(band_idx, band_val, band_population)`` audit frame as
     ``(pairs, purged | None)``. Default never fires at test scale;
     ``None`` disables.
+
+    Output-density contract: even with ``max_hamming``, RAW pairs are
+    inherently quadratic in each duplicate family's size (f identical
+    docs = f^2/2 hamming-0 pairs — the r04 sf-sweep measured 22x pairs
+    for 8x docs on a dup-dense corpus). Downstream consumers at scale
+    should take :func:`simhash_clusters`, whose output is exactly one
+    row per document.
     """
     sh = df.select(
         F.col(id_col).alias("id"),
@@ -461,9 +480,45 @@ def simhash_dedup(
         .distinct()
     )
     pairs = pairs.select("id_1", "id_2", F.bit_count("x").alias("hamming"))
+    if max_hamming is not None:
+        pairs = pairs.filter(F.col("hamming") <= max_hamming)
     if return_purged:
         return pairs, purged
     return pairs
+
+
+def simhash_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    band_bits: int = 16,
+    hash_family: str = "xxhash64",
+    max_hamming: int = 3,
+    max_band_population: int | None = 100_000,
+) -> DataFrame:
+    """SimHash near-dup CLUSTERS: banded candidates -> exact Hamming
+    verify (``<= max_hamming``) -> connected components -> one canonical
+    document per cluster. Same decision-frame contract as
+    :func:`neardup_clusters`: (doc_id, cluster_id, is_canonical).
+
+    This is the scale-safe default tier over SimHash: raw
+    :func:`simhash_dedup` pairs grow quadratically inside duplicate
+    families (f copies = f^2/2 pairs), but the cluster frame is exactly
+    one row per document — linear by construction, whatever the corpus
+    density. The CC rounds run on the pair graph, whose edge count the
+    band purge bounds per bucket."""
+    pairs = simhash_dedup(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        bits=bits,
+        band_bits=band_bits,
+        hash_family=hash_family,
+        max_band_population=max_band_population,
+        max_hamming=max_hamming,
+    )
+    return _pairs_to_clusters(df, id_col, pairs, caller="simhash_clusters")
 
 
 def build_dedup_index(

@@ -258,6 +258,49 @@ def test_simhash_hot_bucket_guard(spark):
     assert unguarded.count() == 300 * 299 // 2 + 1
 
 
+def test_simhash_clusters_linear_output_on_dup_dense_corpus(spark):
+    """The cluster tier's output density: on a duplicate-heavy corpus the
+    RAW pair tier grows quadratically with family size while the cluster
+    frame stays exactly one row per document — the scale contract that
+    makes simhash_clusters the default consumer shape (r04 measured 22x
+    pairs for 8x docs on raw pairs)."""
+    distinct_texts = [
+        f"document family {i} body with its own distinctive words {i * 17}"
+        for i in range(10)
+    ]
+
+    def corpus(copies):
+        rows = [
+            (i * copies + c, distinct_texts[i])
+            for i in range(len(distinct_texts))
+            for c in range(copies)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string"), len(rows)
+
+    small, n_small = corpus(4)
+    big, n_big = corpus(16)
+
+    # raw pairs: quadratic in family size (identical text -> hamming 0)
+    raw_small = D.simhash_dedup(small, max_hamming=3).count()
+    raw_big = D.simhash_dedup(big, max_hamming=3).count()
+    assert raw_small >= 10 * (4 * 3 // 2)
+    assert raw_big / raw_small > (n_big / n_small) * 2  # superlinear
+
+    # cluster tier: exactly one row per document, regardless of density
+    for df, n in ((small, n_small), (big, n_big)):
+        cl = D.simhash_clusters(df, max_hamming=3).collect()
+        assert len(cl) == n
+        by_cluster = {}
+        for r in cl:
+            by_cluster.setdefault(r["cluster_id"], []).append(r)
+        # every identical-copy family collapses to >=1 canonical each
+        assert sum(r["is_canonical"] for r in cl) == len(by_cluster)
+        # the 16 copies of family 0 (ids 0..copies-1) share one cluster
+        copies = n // 10
+        fam0 = {r["cluster_id"] for r in cl if r["doc_id"] < copies}
+        assert len(fam0) == 1
+
+
 def test_lsh_topk_plane_strategies_agree(spark):
     """The literal-plane Catalyst path and the Arrow-vectorized matmul
     path implement the same sign-LSH (>=0 convention, same seeded

@@ -39,10 +39,11 @@ def _rows_to_set(cols, rows):
 
 ORACLE_NAMES = sorted(entry_mod.oracle_sql().keys())
 
-#: Queries deliberately without a SQL twin (results come from numpy
-#: codecs DuckDB cannot run); each must carry its own pytest pinning
-#: the semantics (tests/test_media_codecs.py for image_dhash_pairs).
-ROWS_ONLY = {"image_dhash_pairs"}
+#: Queries deliberately without a SQL twin; each must carry its own
+#: pytest pinning the semantics.  Empty since image_dhash_pairs gained a
+#: materialized-fingerprint oracle (the numpy decode stays pinned by
+#: tests/test_media_codecs.py; the band join + Hamming verify is SQL).
+ROWS_ONLY: set = set()
 
 
 def test_every_query_has_an_oracle():
