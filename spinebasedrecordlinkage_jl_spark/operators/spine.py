@@ -491,10 +491,47 @@ def form_entities(
             if col not in global_cols:
                 global_cols.append(col)
     gs_cols = [F.coalesce(F.col(c), F.lit("\x00")) for c in global_cols]
-    # one blocking job: the distinct shuffle; everything downstream
-    # (audit AND edge generation) reads the cached result
+
+    # Representative-record struct, defined here because the signature
+    # contraction below FUSES the distinct-signature pass with the
+    # per-signature representative minimum: one record-level hash
+    # aggregation (grouped on the raw signature columns — NULL group
+    # keys compare equal, exactly like distinct()) yields both the
+    # unique-signature relation and min(m_struct) per signature. The
+    # previous shape scanned the record relation twice (distinct, then
+    # groupBy(_gs).min(struct)) — the fused pass halves the record-level
+    # scan+aggregate work of spine-row materialization, the dominant
+    # cost of this phase at the 208M-turn scale. min(struct) ordering
+    # equals a row_number window's asc-nulls-first: null fields first.
+    rep_cols = [c for c in spine_columns if c != "EntityId" and c in eligible.columns]
+    # the representative's columns exposed to entity_id_expr: the spine
+    # columns plus construct_entityid_from (the documented contract)
+    carry_cols = list(
+        dict.fromkeys(
+            rep_cols + [c for c in construct_entityid_from if c in eligible.columns]
+        )
+    )
+    order_fields = (
+        [F.col(order_col).alias("_o")]
+        if order_col and order_col in eligible.columns
+        else []
+    )
+    m_struct = F.struct(
+        *order_fields,
+        F.col("EventId").alias("_e"),
+        *[F.col(c).alias(c) for c in carry_cols],
+    )
+
+    # one blocking job: the fused contraction shuffle; everything
+    # downstream (audit, edge generation, representatives) reads the
+    # cached result
     _t0 = _time.time()
-    sigs_rel = eligible.select(*global_cols).distinct().localCheckpoint(eager=True)
+    sig_base = (
+        eligible.groupBy(*[F.col(c) for c in global_cols])
+        .agg(F.min(m_struct).alias("_m"))
+        .localCheckpoint(eager=True)
+    )
+    sigs_rel = sig_base.select(*global_cols)
     if _os.environ.get("SPINELINK_CC_DEBUG") == "1":
         print(f"[form] signature contraction: {_time.time() - _t0:.2f}s", flush=True)
 
@@ -600,6 +637,7 @@ def form_entities(
         # the remap — only on the ~never branch.
         _assert_ids_unique(pop.distinct(), collide)
         eligible_g, comp = _contract(collide)
+    final_collide = collide if collide else frozenset()
 
     # Records of a signature with NO surviving edge stay singletons —
     # merging them through the bare signature node would diverge from
@@ -614,35 +652,18 @@ def form_entities(
     # append_row_to_spine! copies the appending row, runlinkage.jl:283-294
     # — and 'first' in a distributed scan is defined by the natural key,
     # not file order; EventId breaks any remaining tie). Chosen in
-    # SIGNATURE space as a two-level min(struct) — (1) per signature, the
-    # ONLY record-level pass, a hash aggregation whose map-side combine
-    # shrinks the shuffle to ~|signatures| rows; (2) per component over
-    # the signature minima, signature-level — instead of a row_number
-    # window that shuffled AND sorted every record on a struct key
-    # (measured ~70% of form_entities wall time on the 208M-turn
-    # bootstrap). min(struct) ordering equals the window's
-    # asc-nulls-first: null fields sort first.
-    rep_cols = [c for c in spine_columns if c != "EntityId" and c in eligible.columns]
-    # the representative's columns exposed to entity_id_expr: the spine
-    # columns plus construct_entityid_from (the documented contract)
-    carry_cols = list(
-        dict.fromkeys(
-            rep_cols + [c for c in construct_entityid_from if c in eligible.columns]
-        )
-    )
-    order_fields = (
-        [F.col(order_col).alias("_o")]
-        if order_col and order_col in eligible.columns
-        else []
-    )
-    m_struct = F.struct(
-        *order_fields,
-        F.col("EventId").alias("_e"),
-        *[F.col(c).alias(c) for c in carry_cols],
-    )
+    # SIGNATURE space as a two-level min(struct) — (1) per signature,
+    # fused into the contraction aggregation above (the only record-
+    # level pass, map-side combine shrinks the shuffle to ~|signatures|
+    # rows); (2) per component over the signature minima, signature-
+    # level — instead of a row_number window that shuffled AND sorted
+    # every record on a struct key (measured ~70% of form_entities wall
+    # time on the 208M-turn bootstrap).
     comp_g = comp.withColumnRenamed("id", "_gs")
     comp_struct = F.struct(F.lit(0).alias("s"), F.col("component").alias("v"))
-    sig_first = eligible_g.groupBy("_gs").agg(F.min(m_struct).alias("_m"))
+    sig_first = sig_base.withColumn(
+        "_gs", _node64("gsig", gs_cols, final_collide)
+    ).select("_gs", "_m")
     in_comp = sig_first.join(comp_g, "_gs", "inner")
     rep_rows = (
         in_comp.select(comp_struct.alias("_component"), "_m")
