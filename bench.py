@@ -68,6 +68,8 @@ EXTENDED = [
     "sessionize",
     "truncate_conversations",
     "compact_latest",
+    "dup_span_stats",
+    "dup_spans_topk",
 ]
 
 

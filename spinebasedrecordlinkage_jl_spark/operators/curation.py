@@ -693,3 +693,107 @@ def compact_latest(
     return packed.select(
         *key_cols, *[F.col(f"_latest.{c}").alias(c) for c in ordered]
     ).select(*df.columns)
+
+
+def dup_span_stats(
+    docs: DataFrame,
+    n: int = 20,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level exact duplicate-SPAN statistics — the substring-dedup
+    family (Lee et al., "Deduplicating Training Data Makes Language
+    Models Better"): for each document, how many of its word n-gram
+    positions carry a span occurring >= ``min_count`` times in the WHOLE
+    corpus, multiplicity counted (within-document repeats included).
+    Complements ``repetition_stats`` (within-doc only) and the whole-doc
+    dedup family: a doc that pastes one boilerplate paragraph into
+    otherwise-unique text is invisible to both, and this is the signal
+    that catches it.
+
+    Output: ``(id_col, n_spans, n_dup_spans, dup_span_frac,
+    has_dup_span)``, one row per input document.
+
+    100 TB shape: span occurrences are contracted per (doc, span-hash)
+    FIRST — a map-side-combinable groupBy whose key embeds the doc id,
+    so it cannot be hot — bounding every later relation by distinct
+    (doc, span) pairs. The global occurrence count then aggregates that
+    contracted relation on the fixed-width md5 key (never the raw
+    n-token string), and the duplicated-hash set joins back under AQE
+    (broadcast when small). Three linear shuffles; no window over the
+    corpus, no all-pairs anywhere.
+    """
+    spans = docs.select(
+        F.col(id_col),
+        F.explode(word_ngrams(F.col(text_col), n, distinct=False)).alias("_span"),
+    ).select(id_col, F.md5(F.col("_span")).alias("_h"))
+    per_doc = spans.groupBy(id_col, "_h").agg(F.count("*").alias("_cnt"))
+    dup_hashes = (
+        per_doc.groupBy("_h")
+        .agg(F.sum("_cnt").alias("_occ"))
+        .filter(F.col("_occ") >= min_count)
+        .select("_h")
+    )
+    dup_per_doc = (
+        per_doc.join(dup_hashes, "_h")
+        .groupBy(id_col)
+        .agg(F.sum("_cnt").cast("bigint").alias("_n_dup"))
+    )
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    n_spans = (
+        F.when(F.col(text_col).isNull(), F.lit(0))
+        .otherwise(F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0)))
+        .cast("bigint")
+    )
+    return (
+        docs.select(F.col(id_col), n_spans.alias("n_spans"))
+        .join(dup_per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_spans",
+            F.coalesce(F.col("_n_dup"), F.lit(0)).cast("bigint").alias("n_dup_spans"),
+            F.when(
+                F.col("n_spans") > 0,
+                F.coalesce(F.col("_n_dup"), F.lit(0)).cast("double") / F.col("n_spans"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_span_frac"),
+            (F.coalesce(F.col("_n_dup"), F.lit(0)) > 0).alias("has_dup_span"),
+        )
+    )
+
+
+def dup_spans_topk(
+    docs: DataFrame,
+    n: int = 20,
+    k: int = 20,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The k most-duplicated exact word n-gram spans corpus-wide —
+    the datasheet twin of ``dup_span_stats`` (what IS the boilerplate?).
+    Output: ``(span, n_occ, n_docs)``, ordered by occurrences desc then
+    span asc (a total order, so the top-k cut is deterministic).
+
+    100 TB shape: one map-side-combinable groupBy over the span relation
+    (raw span strings here, not hashes — the span text IS the payload a
+    datasheet reader wants), then TakeOrdered for the k rows; the
+    ``>= min_count`` filter drops the unique-span long tail before the
+    ordering ever sees it.
+    """
+    spans = docs.select(
+        F.col(id_col),
+        F.explode(word_ngrams(F.col(text_col), n, distinct=False)).alias("span"),
+    )
+    return (
+        spans.groupBy("span")
+        .agg(
+            F.count("*").cast("bigint").alias("n_occ"),
+            F.count_distinct(F.col(id_col)).cast("bigint").alias("n_docs"),
+        )
+        .filter(F.col("n_occ") >= min_count)
+        .orderBy(F.col("n_occ").desc(), F.col("span").asc())
+        .limit(k)
+    )

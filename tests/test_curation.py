@@ -407,3 +407,56 @@ def test_compact_latest_wins_by_version_then_tiebreak(spark):
 
     with pytest.raises(ValueError, match="missing columns"):
         C.compact_latest(df, ["nope"], "ts")
+
+
+def test_dup_span_stats_corpus_level(spark):
+    # "alpha beta gamma" appears in docs 10 and 11 (cross-doc dup) and
+    # TWICE in doc 12 (within-doc dup, counted with multiplicity);
+    # doc 13 is unique text; doc 14 NULL; doc 15 too short for a 3-gram.
+    rows = [
+        (10, "alpha beta gamma one two"),
+        (11, "zero alpha beta gamma"),
+        (12, "alpha beta gamma alpha beta gamma"),
+        (13, "totally unique words here now"),
+        (14, None),
+        (15, "tiny doc"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in C.dup_span_stats(docs, n=3).collect()}
+    assert len(got) == 6  # one row per input doc, NULL text included
+    # doc 10: 3 span positions, 1 duplicated ("alpha beta gamma")
+    assert got[10]["n_spans"] == 3 and got[10]["n_dup_spans"] == 1
+    assert got[10]["has_dup_span"] and abs(got[10]["dup_span_frac"] - 1 / 3) < 1e-12
+    assert got[11]["n_dup_spans"] == 1
+    # doc 12: 4 positions; "alpha beta gamma" occurs at positions 1 and 4
+    # (both count), and "beta gamma alpha" / "gamma alpha beta" are
+    # corpus-unique — 2 duplicated of 4
+    assert got[12]["n_spans"] == 4 and got[12]["n_dup_spans"] == 2
+    assert got[13]["n_dup_spans"] == 0 and not got[13]["has_dup_span"]
+    assert got[14]["n_spans"] == 0 and got[14]["dup_span_frac"] == 0.0
+    assert got[15]["n_spans"] == 0 and not got[15]["has_dup_span"]
+
+
+def test_dup_span_stats_within_doc_only_repeat_counts(spark):
+    # a span repeated ONLY inside one doc still reaches min_count=2
+    docs = spark.createDataFrame(
+        [(0, "x y z q x y z"), (1, "a b c d e")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in C.dup_span_stats(docs, n=3).collect()}
+    assert got[0]["n_dup_spans"] == 2  # "x y z" at positions 1 and 5
+    assert got[1]["n_dup_spans"] == 0
+
+
+def test_dup_spans_topk_order_and_counts(spark):
+    rows = [
+        (0, "p q r p q r p q r"),   # "p q r" x3 within one doc
+        (1, "p q r s t"),            # +1 occurrence, 2nd doc
+        (2, "m n o m n o"),          # "m n o" x2 in one doc
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = C.dup_spans_topk(docs, n=3, k=10).collect()
+    assert out[0]["span"] == "p q r" and out[0]["n_occ"] == 4 and out[0]["n_docs"] == 2
+    by_span = {r["span"]: r for r in out}
+    assert by_span["m n o"]["n_occ"] == 2 and by_span["m n o"]["n_docs"] == 1
+    # every emitted span genuinely duplicated
+    assert all(r["n_occ"] >= 2 for r in out)
