@@ -88,6 +88,29 @@ def test_simhash_numpy_reference(spark):
         assert got[i] == bits, f"doc {i}"
 
 
+def test_simhash_pandas_matches_expr(spark):
+    """The Arrow fast path (md5 family, default via impl='auto') is
+    value-for-value equal to the pure-expression path — including NULL
+    text, empty text, and strings shorter than the shingle width."""
+    texts = [None, "", "ab", "abcd", "abcde", "the quick brown fox", "zzzz" * 80]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = df.select(
+        D.simhash(F.col("text"), bits=32, hash_family="md5", impl="expr").alias("a"),
+        D.simhash(F.col("text"), bits=32, hash_family="md5", impl="pandas").alias("b"),
+    ).collect()
+    for r in rows:
+        assert r["a"] == r["b"]
+
+
+def test_simhash_impl_validation():
+    with pytest.raises(ValueError):
+        D.simhash(F.lit("x"), impl="nope")
+    with pytest.raises(ValueError):
+        D.simhash(F.lit("x"), hash_family="xxhash64", impl="pandas")
+
+
 @pytest.fixture(scope="module")
 def vectors(spark):
     rng = np.random.default_rng(7)
