@@ -497,10 +497,11 @@ def simhash_dedup(
     # one task; at real scale the input already has more splits than
     # cores and this is a no-op), and (b) persist the tiny (id, sh)
     # frame so each signature is computed once, not once per join side.
-    sc = df.sparkSession.sparkContext
-    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
-    if src.rdd.getNumPartitions() < sc.defaultParallelism:
-        src = src.repartition(sc.defaultParallelism)
+    from ..session import widen_if_narrow
+
+    src = widen_if_narrow(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+    )
     sh = src.select(
         "id", simhash(F.col("_t"), bits=bits, hash_family=hash_family).alias("sh")
     ).persist()

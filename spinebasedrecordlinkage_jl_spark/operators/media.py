@@ -118,7 +118,13 @@ def synthesize_media_payloads(
                     out["payload"].append(_synth_wav(text))
             yield pd.DataFrame(out)
 
-    return docs.select(id_col, text_col).mapInPandas(_gen, schema=PAYLOAD_SCHEMA)
+    from ..session import widen_if_narrow
+
+    # synthesis is pure per-row compute: spread a narrow scan across the
+    # cluster before it, or the whole corpus renders through one task
+    return widen_if_narrow(docs.select(id_col, text_col)).mapInPandas(
+        _gen, schema=PAYLOAD_SCHEMA
+    )
 
 
 def decode_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -164,7 +170,11 @@ def decode_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 rows.append(row)
             yield pd.DataFrame(rows)
 
-    return df.select(id_col, "content_type", "payload").mapInPandas(
+    from ..session import widen_if_narrow
+
+    # the codec is the expensive leg — parallelize a narrow payload
+    # frame before it (no-op at scale, where the scan has many splits)
+    return widen_if_narrow(df.select(id_col, "content_type", "payload")).mapInPandas(
         _decode, schema=MEDIA_SCHEMA
     )
 

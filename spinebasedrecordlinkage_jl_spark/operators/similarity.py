@@ -455,13 +455,10 @@ def semantic_dedup(
     _, probe_cells = _cell_assigner(centroids, assign_strategy, caller="semantic_dedup")
 
     # cell assignment is embarrassingly parallel but runs where the scan
-    # puts it: a small-file corpus arrives as one partition and the whole
-    # assignment serializes through one task. Fan out when the input has
-    # fewer partitions than the session's parallelism; at scale the scan
-    # already has more, so this is a no-op (no extra shuffle).
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)
+    # puts it — fan a narrow corpus out first (no-op at scale)
+    from ..session import widen_if_narrow
+
+    df = widen_if_narrow(df)
 
     assigned = df.select(
         F.col(id_col).cast("long").alias("_id"),

@@ -82,3 +82,19 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
+
+
+def widen_if_narrow(df):
+    """Round a narrower-than-the-cluster DataFrame up to the session's
+    default parallelism.
+
+    Compute-heavy per-row stages (signature evaluation, media decode,
+    embedding cell assignment) run wherever the scan put them: a small
+    corpus arriving as one parquet split serializes the whole stage
+    through one task. At real scale the input already has more splits
+    than cores and this is a no-op — the partition count is plan
+    metadata, no job runs to check it."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
