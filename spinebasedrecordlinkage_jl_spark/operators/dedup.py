@@ -112,10 +112,13 @@ def minhash_lsh_pairs(
     ``purged`` is the audit frame ``(band_idx, band_hash,
     band_population)`` of dropped buckets.
     """
+    # persist the banded-signature frame: the self-join (and the purge
+    # audit) consume it more than once, and re-deriving it re-runs the
+    # md5 min-hash family over every document's shingle set per consumer
     bands = minhash_bands(
         minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, max_chars),
         rows_per_band,
-    )
+    ).persist()
     purged = None
     if max_band_population is not None:
         sizes = bands.groupBy("band_idx", "band_hash").agg(
@@ -179,7 +182,10 @@ def ngram_jaccard_pairs(
     ``return_purged=True`` additionally returns the audit frame of
     purged ``(shingle, doc_freq)`` rows: ``(pairs, purged | None)``.
     """
-    sh = _shingle_df(df, text_col, id_col, shingle_n, max_chars)
+    # persist the inverted index: per-doc sizes, the (optional) purge
+    # counts and BOTH sides of the shingle self-join consume it, and
+    # each would otherwise re-shingle the corpus from scratch
+    sh = _shingle_df(df, text_col, id_col, shingle_n, max_chars).persist()
     purged = None
     if max_doc_freq is not None:
         freqs = sh.groupBy("shingle").agg(F.count("*").alias("doc_freq"))

@@ -194,8 +194,15 @@ def hamming_band_pairs(
     with the full Hamming distance computed JVM-side on the survivors.
     Same hot-bucket purge contract as ``dedup.simhash_dedup`` (which
     computes its fingerprint inline; this is the generic version for
-    fingerprints produced elsewhere, e.g. perceptual image hashes)."""
-    sh = df.select(F.col(id_col).alias("id"), F.col(hash_col).cast("long").alias("sh"))
+    fingerprints produced elsewhere, e.g. perceptual image hashes).
+
+    The tiny (id, fingerprint) projection is persisted before the
+    self-join: both join sides would otherwise re-run the upstream
+    plan, and that upstream is typically a decode (mapInPandas codec)
+    that must not execute twice per document."""
+    sh = df.select(
+        F.col(id_col).alias("id"), F.col(hash_col).cast("long").alias("sh")
+    ).persist()
     n_bands = bits // band_bits
     bands = sh.select(
         "id",
