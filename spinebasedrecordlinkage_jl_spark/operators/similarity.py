@@ -460,11 +460,13 @@ def semantic_dedup(
 
     df = widen_if_narrow(df)
 
+    # persist: the purge count and BOTH self-join sides consume this
+    # frame, and re-deriving it re-runs the centroid-probe UDF per use
     assigned = df.select(
         F.col(id_col).cast("long").alias("_id"),
         F.col(vec_col).alias("_vec"),
         probe_cells(F.col(vec_col), 1)[0].alias("cell_id"),
-    )
+    ).persist()
     purged = None
     if max_cell_population is not None:
         sizes = assigned.groupBy("cell_id").agg(F.count("*").alias("cell_population"))
