@@ -11,6 +11,14 @@ Five families, each a standard web-scale corpus-cleaning primitive:
   LSH-style candidate set)
 - embedding cosine (see similarity.py)
 
+Evaluate-once contract: the pair-generating operators persist their
+small (id, signature) frames before the banded self-joins — both join
+sides (and the purge audits) consume the same frame, and signature
+evaluation is the expensive leg. Frames are MEMORY_AND_DISK and LRU
+-evicted; callers embedding these operators in an unbounded
+``foreachBatch`` loop should prefer the streaming twins
+(``streaming/``), which are persist-free by construction.
+
 MinHash here uses the *min of md5(seed || shingle)* family: md5 imposes
 a pseudo-random total order per seed, so the min over a document's
 shingle set is a proper min-wise hash, AND the same expression exists
@@ -779,9 +787,11 @@ def dedup_incremental_verify(
             "left_anti",
         )
 
+    # persist: the band explode and the signature join-back both consume
+    # this frame — without it the md5 min-hash family runs twice per doc
     batch_sigs = minhash_signatures(
         new_docs, text_col, id_col, num_hashes, shingle_n, max_chars
-    )
+    ).persist()
     batch_bands = minhash_bands(batch_sigs, rows_per_band).join(batch_sigs, "id")
 
     agree = sum(
