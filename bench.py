@@ -70,6 +70,8 @@ EXTENDED = [
     "compact_latest",
     "dup_span_stats",
     "dup_spans_topk",
+    "split_corpus",
+    "epoch_shuffle",
 ]
 
 

@@ -797,3 +797,72 @@ def dup_spans_topk(
         .orderBy(F.col("n_occ").desc(), F.col("span").asc())
         .limit(k)
     )
+
+
+def split_corpus(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    key_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row gets a
+    ``split`` label from its md5-uniform draw (:func:`uniform_hash01`)
+    against the cumulative weight thresholds, in the dict's order.
+
+    Map-side only — no shuffle, no RNG state: the assignment is a pure
+    function of (key, salt, weights), so re-runs, resumes and different
+    cluster sizes put every document in the same split (the property
+    that keeps eval sets uncontaminated across pipeline re-builds —
+    ``DataFrame.randomSplit`` re-deals on every partitioning change).
+    The last split absorbs the full remaining interval, so weights that
+    sum to 1.0 partition [0,1) exactly.
+    """
+    if weights is None:
+        weights = {"train": 0.98, "val": 0.01, "test": 0.01}
+    if len(weights) < 2:
+        raise ValueError("split_corpus: need at least two splits")
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError(f"split_corpus: weights must be positive, got {weights}")
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split_corpus: weights must sum to 1.0, got {total}")
+    u = uniform_hash01(F.col(key_col), salt)
+    names = list(weights)
+    expr: Column | None = None
+    cum = 0.0
+    for name in names[:-1]:
+        cum += weights[name]
+        branch = F.when(u < F.lit(cum), F.lit(name))
+        expr = branch if expr is None else expr.when(u < F.lit(cum), F.lit(name))
+    assert expr is not None
+    return df.withColumn("split", expr.otherwise(F.lit(names[-1])))
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    epoch: int,
+    key_col: str = "doc_id",
+    salt: str = "shuffle",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic global shuffle for one training epoch: every row
+    gets ``shuffle_key = md5(salt:epoch:key)``, and the frame comes back
+    range-partitioned and sorted by it — a sequential read of the
+    written shards replays the same pseudo-random document order at ANY
+    cluster size or partition count, and each epoch draws a fresh
+    independent order (the per-epoch reshuffle data loaders expect).
+
+    100 TB shape: exactly one range shuffle (repartitionByRange samples
+    key quantiles, so ranges balance even though md5 keys are uniform by
+    construction); the sort is within-partition — there is no global
+    single-task ordering step. The order is a pure function of
+    (salt, epoch, key): no RNG state, reproducible under retries.
+    """
+    key = F.md5(
+        F.concat(F.lit(f"{salt}:{int(epoch)}:"), F.col(key_col).cast("string"))
+    )
+    out = df.withColumn("shuffle_key", key)
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    return out.repartitionByRange(n, F.col("shuffle_key")).sortWithinPartitions(
+        "shuffle_key"
+    )

@@ -460,3 +460,47 @@ def test_dup_spans_topk_order_and_counts(spark):
     assert by_span["m n o"]["n_occ"] == 2 and by_span["m n o"]["n_docs"] == 1
     # every emitted span genuinely duplicated
     assert all(r["n_occ"] >= 2 for r in out)
+
+
+def test_split_corpus_fractions_deterministic_and_exhaustive(spark):
+    df = spark.range(6000).select(F.col("id").alias("doc_id"))
+    out = C.split_corpus(df, {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 6000  # total partition of the corpus
+    assert abs(counts["train"] / 6000 - 0.8) < 0.03
+    assert abs(counts["val"] / 6000 - 0.1) < 0.02
+    # deterministic: identical assignment on re-run and at another partitioning
+    a = {r["doc_id"]: r["split"] for r in out.collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in C.split_corpus(df.repartition(7), {"train": 0.8, "val": 0.1, "test": 0.1}).collect()
+    }
+    assert a == b
+
+
+def test_split_corpus_validation(spark):
+    df = spark.range(10).select(F.col("id").alias("doc_id"))
+    with pytest.raises(ValueError):
+        C.split_corpus(df, {"train": 1.0})  # fewer than two splits
+    with pytest.raises(ValueError):
+        C.split_corpus(df, {"train": 0.8, "val": 0.1})  # doesn't sum to 1
+    with pytest.raises(ValueError):
+        C.split_corpus(df, {"train": 1.1, "val": -0.1})  # non-positive weight
+
+
+def test_epoch_shuffle_order_is_partition_invariant_and_per_epoch(spark):
+    df = spark.range(500).select(F.col("id").alias("doc_id"))
+
+    def order(frame):
+        # global order = (range-partition order, within-partition sort):
+        # concatenating partitions in id order replays it
+        rows = frame.withColumn("_p", F.spark_partition_id()).collect()
+        return [r["doc_id"] for r in sorted(rows, key=lambda r: (r["_p"], r["shuffle_key"]))]
+
+    o4 = order(C.epoch_shuffle(df, epoch=1, num_partitions=4))
+    o16 = order(C.epoch_shuffle(df.repartition(13), epoch=1, num_partitions=16))
+    assert o4 == o16  # same order at any parallelism / input partitioning
+    assert sorted(o4) == list(range(500))  # a permutation, nothing lost
+    assert o4 != list(range(500))  # actually shuffled
+    assert o4 != order(C.epoch_shuffle(df, epoch=2, num_partitions=4))  # fresh per epoch
