@@ -157,3 +157,26 @@ def test_corpus_mix_broadcasts_rates_never_shuffles_corpus(plans):
     assert "BroadcastHashJoin" in plan
     hash_exchanges = re.findall(r"\(\d+\) Exchange", plan)
     assert len(hash_exchanges) == 1, plan[:2000]
+
+
+def test_split_corpus_is_map_side_only(plans):
+    """split_corpus's contract: the assignment is a pure row-local
+    function of the key — no Exchange of any kind may appear (a shuffle
+    here means someone traded the deterministic hash for a stateful
+    sampler)."""
+    assert "Exchange" not in plans["split_corpus"], plans["split_corpus"][:2000]
+
+
+def test_epoch_shuffle_is_one_range_exchange_no_global_sort(plans):
+    """epoch_shuffle's contract: exactly one rangepartitioning Exchange
+    and only within-partition sorts (Sort nodes with global=false). A
+    global sort would funnel the epoch order through one task; a hash
+    exchange would lose the sequential-read-replays-the-order property."""
+    import re
+
+    plan = plans["epoch_shuffle"]
+    assert "rangepartitioning" in plan, plan[:2000]
+    exchanges = re.findall(r"\(\d+\) Exchange", plan)
+    assert len(exchanges) == 1, plan[:2000]
+    for m in re.finditer(r"Sort \[([^\]]*)\], (\w+)", plan):
+        assert m.group(2) == "false", f"global sort in epoch_shuffle: {m.group(0)}"
