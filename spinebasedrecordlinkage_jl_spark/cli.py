@@ -130,6 +130,27 @@ def cmd_compare(args) -> int:
     return 0
 
 
+def _parse_weights(spec: str, flag: str) -> dict[str, float]:
+    """Parse a 'name=value,name=value' weight spec; SystemExit with the
+    offending entry and flag name on malformed input."""
+    weights: dict[str, float] = {}
+    for kv in spec.split(","):
+        kv = kv.strip()
+        if not kv:
+            continue
+        name, sep, value = kv.partition("=")
+        if not sep or not name.strip():
+            raise SystemExit(
+                f"curate: malformed {flag} entry {kv!r} "
+                "(expected 'name=value,name=value,...')"
+            )
+        try:
+            weights[name.strip()] = float(value)
+        except ValueError:
+            raise SystemExit(f"curate: non-numeric weight in {flag} entry {kv!r}")
+    return weights
+
+
 def cmd_curate(args) -> int:
     """One-command corpus curation: quality gate -> exact-dedup
     canonicals -> (optional) token-budget source mixing -> sharded
@@ -159,23 +180,7 @@ def cmd_curate(args) -> int:
         "left_semi",
     )
     if args.mix_budget:
-        weights = {}
-        for kv in args.mix_weights.split(","):
-            kv = kv.strip()
-            if not kv:
-                continue
-            name, sep, value = kv.partition("=")
-            if not sep or not name.strip():
-                raise SystemExit(
-                    f"curate: malformed --mix-weights entry {kv!r} "
-                    "(expected 'source=weight,source=weight,...')"
-                )
-            try:
-                weights[name.strip()] = float(value)
-            except ValueError:
-                raise SystemExit(
-                    f"curate: non-numeric weight in --mix-weights entry {kv!r}"
-                )
+        weights = _parse_weights(args.mix_weights, "--mix-weights")
         if not weights:
             raise SystemExit(
                 "curate: --mix-budget requires --mix-weights "
@@ -202,6 +207,24 @@ def cmd_curate(args) -> int:
             str(Path(args.outdir) / "mix_plan.csv"), index=False
         )
 
+    partition_col = "source"
+    if args.split_weights:
+        sw = _parse_weights(args.split_weights, "--split-weights")
+        if not sw:
+            raise SystemExit("curate: --split-weights given but empty")
+        try:
+            canon = C.split_corpus(canon, sw)
+        except ValueError as e:
+            raise SystemExit(f"curate: {e}")
+        # trainers consume split directories; source stays a column
+        partition_col = "split"
+    sort_cols = None
+    if args.epoch_shuffle is not None:
+        canon = C.epoch_shuffle(canon, epoch=args.epoch_shuffle)
+        # the shard writer re-buckets for skew; re-sorting inside each
+        # writer task keeps every written file in the epoch order
+        sort_cols = ["shuffle_key"]
+
     # take(1), not count(): the guard only needs existence, and count()
     # would materialize the whole gate+dedup+mix pipeline an extra time
     if not canon.take(1):
@@ -213,7 +236,8 @@ def cmd_curate(args) -> int:
         canon,
         str(Path(args.outdir) / "corpus"),
         max_records_per_file=args.max_records_per_file,
-        partition_by="source",
+        partition_by=partition_col,
+        sort_within=sort_cols,
     )
     out_docs = read_table(spark, str(Path(args.outdir) / "corpus"))
     after = C.corpus_report(out_docs).toPandas().assign(stage="output")
@@ -250,6 +274,8 @@ def main(argv=None) -> int:
     cu.add_argument("outdir", help="output directory (corpus/, report.csv, manifest.csv)")
     cu.add_argument("--mix-budget", type=int, default=0, help="token budget for source mixing (0 = no mixing)")
     cu.add_argument("--mix-weights", default="", help="source weights, e.g. 'web=0.6,code=0.4'")
+    cu.add_argument("--split-weights", default="", help="deterministic train/val/test assignment, e.g. 'train=0.98,val=0.01,test=0.01' (output partitions by split)")
+    cu.add_argument("--epoch-shuffle", type=int, default=None, metavar="EPOCH", help="write shards in the deterministic epoch-EPOCH shuffle order")
     cu.add_argument("--max-records-per-file", type=int, default=100_000)
     cu.set_defaults(fn=cmd_curate)
 

@@ -195,3 +195,63 @@ def test_cli_curate_mix_weight_errors(spark, tmp_path):
         cli.main(["curate", p, out, "--mix-budget", "100", "--mix-weights", "web"])
     with pytest.raises(SystemExit, match="non-numeric weight"):
         cli.main(["curate", p, out, "--mix-budget", "100", "--mix-weights", "web=x"])
+
+
+def test_cli_curate_split_and_epoch_shuffle(spark, tmp_path):
+    """curate --split-weights --epoch-shuffle: output partitions by
+    split, every doc carries its deterministic assignment and shuffle
+    key, and each written file is internally in epoch order."""
+    import os
+
+    good = (
+        "this is a perfectly reasonable document with enough plain words "
+        "that the quality gate will let it through because it is long and "
+        "has the usual stopword density of real prose "
+    )
+    rows = [(i, "web", good + f"tail {i}") for i in range(60)]
+    docs_path = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, source string, text string").write.parquet(docs_path)
+
+    out = str(tmp_path / "curated")
+    assert cli.main([
+        "curate", docs_path, out,
+        "--split-weights", "train=0.8,val=0.1,test=0.1",
+        "--epoch-shuffle", "3",
+    ]) == 0
+
+    # split directories, not source directories
+    dirs = {d for d in os.listdir(f"{out}/corpus") if d.startswith("split=")}
+    assert "split=train" in dirs and len(dirs) >= 2
+    corpus = spark.read.parquet(f"{out}/corpus")
+    assert {"split", "shuffle_key", "source"} <= set(corpus.columns)
+    assert corpus.count() == 60
+    # assignment matches the operator (pure function of doc_id)
+    from spinebasedrecordlinkage_jl_spark.operators import curation as C
+    expect = {
+        r["doc_id"]: r["split"]
+        for r in C.split_corpus(
+            spark.read.parquet(docs_path), {"train": 0.8, "val": 0.1, "test": 0.1}
+        ).collect()
+    }
+    got = {r["doc_id"]: r["split"] for r in corpus.collect()}
+    assert got == expect
+    # every written file is internally in epoch order
+    import glob
+    import pandas as pd
+    for f in glob.glob(f"{out}/corpus/*/*.parquet"):
+        keys = pd.read_parquet(f)["shuffle_key"].tolist()
+        assert keys == sorted(keys), f
+
+
+def test_cli_curate_split_weight_errors(spark, tmp_path):
+    import pytest
+
+    p = str(tmp_path / "d.parquet")
+    spark.createDataFrame(
+        [(0, "web", "x")], "doc_id long, source string, text string"
+    ).write.parquet(p)
+    out = str(tmp_path / "o")
+    with pytest.raises(SystemExit, match="sum to 1.0"):
+        cli.main(["curate", p, out, "--split-weights", "train=0.8,val=0.1"])
+    with pytest.raises(SystemExit, match="malformed --split-weights"):
+        cli.main(["curate", p, out, "--split-weights", "train"])
