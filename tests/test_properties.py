@@ -126,3 +126,60 @@ def test_transcript_checks_counts_match_python_reference(spark, convs):
         key = lambda t: (t[0], t[1] is not None, t[1] or "", t[2] is not None, t[2] or "")
         first_role = sorted(turns, key=key)[0][1]
         assert r["starts_ok"] == int(first_role == "user")
+
+
+@given(
+    n=st.integers(min_value=1, max_value=300),
+    w1=st.floats(min_value=0.05, max_value=0.9),
+    w2=st.floats(min_value=0.05, max_value=0.9),
+    salt=st.sampled_from(["split", "s2", "fold"]),
+)
+@settings(**_SETTINGS)
+def test_split_corpus_matches_python_reference(spark, n, w1, w2, salt):
+    """Every row's split equals the pure-Python md5-threshold walk, and
+    the splits partition the corpus exactly."""
+    total = w1 + w2
+    weights = {"a": w1 / total * 0.7, "b": w2 / total * 0.3}
+    weights["c"] = 1.0 - sum(weights.values())
+    if weights["c"] <= 0:
+        return
+    df = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    got = {
+        r["doc_id"]: r["split"]
+        for r in C.split_corpus(df, weights, salt=salt).collect()
+    }
+    names = list(weights)
+    for i in range(n):
+        u = _md5_uniform(salt, i)
+        expect = names[-1]
+        cum = 0.0
+        for name in names[:-1]:
+            cum += weights[name]
+            if u < cum:
+                expect = name
+                break
+        assert got[i] == expect, (i, u)
+    assert len(got) == n
+
+
+@given(
+    n=st.integers(min_value=2, max_value=200),
+    epoch=st.integers(min_value=0, max_value=5),
+    parts=st.integers(min_value=1, max_value=9),
+)
+@settings(**_SETTINGS)
+def test_epoch_shuffle_matches_python_reference_order(spark, n, epoch, parts):
+    """The global (partition, key) order equals sorting doc_ids by the
+    pure-Python md5 stream — at any partition count — and is a
+    permutation of the input."""
+    df = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    rows = (
+        C.epoch_shuffle(df, epoch=epoch, num_partitions=parts)
+        .withColumn("_p", F.spark_partition_id())
+        .collect()
+    )
+    got = [r["doc_id"] for r in sorted(rows, key=lambda r: (r["_p"], r["shuffle_key"]))]
+    expect = sorted(
+        range(n), key=lambda i: hashlib.md5(f"shuffle:{epoch}:{i}".encode()).hexdigest()
+    )
+    assert got == expect
