@@ -866,3 +866,56 @@ def epoch_shuffle(
     return out.repartitionByRange(n, F.col("shuffle_key")).sortWithinPartitions(
         "shuffle_key"
     )
+
+
+def split_leakage(
+    docs: DataFrame,
+    weights: dict[str, float] | None = None,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "split",
+    n: int = 13,
+    train_split: str = "train",
+) -> DataFrame:
+    """Cross-split contamination gate: after :func:`split_corpus`
+    assignment, flag every eval-split (non-train) document sharing at
+    least one word n-gram with any train document — the check a
+    training pipeline runs before trusting its held-out loss. Returns
+    one row per eval document: (key, split, n_leaked_grams, leaked).
+
+    100 TB shape: the train corpus is NEVER shuffled. Its gram stream
+    is map-side semi-joined against the broadcast distinct gram set of
+    the eval splits (1-2% of the corpus by the split weights),
+    producing the small leaked-gram set, which is broadcast back over
+    the eval gram stream for the per-document count — the mirror of
+    :func:`decontaminate` with the corpus's own eval splits playing
+    the benchmark. The only shuffles move eval-sized data.
+    """
+    assigned = split_corpus(docs, weights, key_col=key_col, salt=salt)
+    grams = word_ngrams(F.col(text_col), n)
+    eval_docs = assigned.filter(F.col("split") != train_split)
+    eval_grams = eval_docs.select(
+        F.col(key_col), F.col("split"), F.explode(grams).alias("gram")
+    )
+    eval_gram_set = eval_grams.select("gram").distinct()
+    train_grams = assigned.filter(F.col("split") == train_split).select(
+        F.explode(grams).alias("gram")
+    )
+    leaked_grams = (
+        train_grams.join(F.broadcast(eval_gram_set), "gram").select("gram").distinct()
+    )
+    hits = (
+        eval_grams.join(F.broadcast(leaked_grams), "gram")
+        .groupBy(key_col, "split")
+        .agg(F.count("*").alias("n_leaked_grams"))
+    )
+    return (
+        eval_docs.select(key_col, "split")
+        .join(hits, [key_col, "split"], "left")
+        .select(
+            F.col(key_col),
+            F.col("split"),
+            F.coalesce(F.col("n_leaked_grams"), F.lit(0)).alias("n_leaked_grams"),
+            (F.coalesce(F.col("n_leaked_grams"), F.lit(0)) > 0).alias("leaked"),
+        )
+    )

@@ -504,3 +504,45 @@ def test_epoch_shuffle_order_is_partition_invariant_and_per_epoch(spark):
     assert sorted(o4) == list(range(500))  # a permutation, nothing lost
     assert o4 != list(range(500))  # actually shuffled
     assert o4 != order(C.epoch_shuffle(df, epoch=2, num_partitions=4))  # fresh per epoch
+
+
+def test_split_leakage_flags_cross_split_overlap(spark):
+    # every doc shares the same text -> any eval doc with enough tokens
+    # must leak against the train split (both splits non-empty at n=200)
+    same = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.lit("alpha beta gamma delta epsilon zeta eta theta").alias("text"),
+    )
+    out = C.split_leakage(same, {"train": 0.8, "val": 0.1, "test": 0.1}, n=5).collect()
+    assert out and all(r["leaked"] and r["n_leaked_grams"] >= 1 for r in out)
+    assert {r["split"] for r in out} <= {"val", "test"}
+
+    # per-doc-unique text -> nothing leaks, counts are exact zeros
+    uniq = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[F.concat(F.lit(f"w{i}x"), F.col("id").cast("string")) for i in range(8)],
+        ).alias("text"),
+    )
+    out2 = C.split_leakage(uniq, {"train": 0.8, "val": 0.1, "test": 0.1}, n=5).collect()
+    assert out2 and all((not r["leaked"]) and r["n_leaked_grams"] == 0 for r in out2)
+
+    # short docs (< n tokens) yield no grams and therefore never leak
+    short = spark.range(50).select(
+        F.col("id").alias("doc_id"), F.lit("only three words").alias("text")
+    )
+    out3 = C.split_leakage(short, {"train": 0.8, "val": 0.1, "test": 0.1}, n=5).collect()
+    assert all((not r["leaked"]) and r["n_leaked_grams"] == 0 for r in out3)
+
+
+def test_split_leakage_broadcasts_eval_side(spark):
+    """Plan contract: the train-corpus gram stream must join the
+    eval-derived gram sets via broadcast (the corpus itself is never
+    shuffled for the leak check)."""
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.lit("alpha beta gamma delta epsilon zeta eta theta").alias("text"),
+    )
+    plan = C.split_leakage(docs, n=5)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2, plan
