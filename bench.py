@@ -71,6 +71,7 @@ EXTENDED = [
     "dup_span_stats",
     "dup_spans_topk",
     "split_corpus",
+    "split_leakage",
     "epoch_shuffle",
 ]
 
