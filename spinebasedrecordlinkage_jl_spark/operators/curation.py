@@ -876,6 +876,7 @@ def split_leakage(
     salt: str = "split",
     n: int = 13,
     train_split: str = "train",
+    broadcast_eval: bool = True,
 ) -> DataFrame:
     """Cross-split contamination gate: after :func:`split_corpus`
     assignment, flag every eval-split (non-train) document sharing at
@@ -885,11 +886,20 @@ def split_leakage(
 
     100 TB shape: the train corpus is NEVER shuffled. Its gram stream
     is map-side semi-joined against the broadcast distinct gram set of
-    the eval splits (1-2% of the corpus by the split weights),
-    producing the small leaked-gram set, which is broadcast back over
-    the eval gram stream for the per-document count — the mirror of
-    :func:`decontaminate` with the corpus's own eval splits playing
-    the benchmark. The only shuffles move eval-sized data.
+    the eval splits, producing the small leaked-gram set, which is
+    broadcast back over the eval gram stream for the per-document
+    count — the mirror of :func:`decontaminate` with the corpus's own
+    eval splits playing the benchmark. The only shuffles move
+    eval-sized data.
+
+    The broadcast default assumes curated-eval-sized splits (MBs-GBs
+    of distinct grams). A 1% slice of a 100 TB corpus is NOT that —
+    its gram set is TB-scale; pass ``broadcast_eval=False`` there and
+    both gram joins become ordinary hash joins on the gram key (AQE
+    picks the strategy), trading one train-gram shuffle for driver/
+    executor OOM safety. Leak-check such corpora at document
+    granularity first (minhash/simhash tiers) and reserve the n-gram
+    gate for the survivors.
     """
     assigned = split_corpus(docs, weights, key_col=key_col, salt=salt)
     grams = word_ngrams(F.col(text_col), n)
@@ -901,11 +911,12 @@ def split_leakage(
     train_grams = assigned.filter(F.col("split") == train_split).select(
         F.explode(grams).alias("gram")
     )
+    small = F.broadcast if broadcast_eval else (lambda df: df)
     leaked_grams = (
-        train_grams.join(F.broadcast(eval_gram_set), "gram").select("gram").distinct()
+        train_grams.join(small(eval_gram_set), "gram").select("gram").distinct()
     )
     hits = (
-        eval_grams.join(F.broadcast(leaked_grams), "gram")
+        eval_grams.join(small(leaked_grams), "gram")
         .groupBy(key_col, "split")
         .agg(F.count("*").alias("n_leaked_grams"))
     )

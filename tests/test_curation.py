@@ -517,6 +517,12 @@ def test_split_leakage_flags_cross_split_overlap(spark):
     assert out and all(r["leaked"] and r["n_leaked_grams"] >= 1 for r in out)
     assert {r["split"] for r in out} <= {"val", "test"}
 
+    # the non-broadcast path (TB-scale eval splits) is value-identical
+    shuffled = C.split_leakage(
+        same, {"train": 0.8, "val": 0.1, "test": 0.1}, n=5, broadcast_eval=False
+    ).collect()
+    assert sorted(map(tuple, shuffled)) == sorted(map(tuple, out))
+
     # per-doc-unique text -> nothing leaks, counts are exact zeros
     uniq = spark.range(200).select(
         F.col("id").alias("doc_id"),
