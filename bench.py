@@ -73,6 +73,7 @@ EXTENDED = [
     "split_corpus",
     "split_leakage",
     "epoch_shuffle",
+    "semantic_decontaminate",
 ]
 
 

@@ -507,3 +507,64 @@ def semantic_dedup(
     if return_purged:
         return clusters, purged
     return clusters
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: (id, max_bench_sim,
+    contaminated) — a corpus vector is contaminated when its cosine
+    against ANY benchmark/eval vector reaches ``threshold``.
+
+    The embedding-space complement of the n-gram ``decontaminate`` gate
+    (operators/curation.py): paraphrased eval leakage that shares no
+    word n-gram with the benchmark still lands next to it in embedding
+    space, so production pipelines run both gates before trusting
+    held-out loss.
+
+    Scale shape: the benchmark side is collected into ONE
+    array-of-structs row (pre-normalized) and broadcast — eval sets are
+    thousands of vectors against a 100 TB corpus, the same small-side
+    contract as ``decontaminate``'s gram-set broadcast. The corpus is
+    then scanned exactly once with a per-row JVM ``aggregate`` over the
+    benchmark array (a broadcast nested-loop join against a single
+    row). ZERO corpus shuffle: no join key, no groupBy — strictly
+    map-side, so it composes under whatever partitioning the
+    surrounding pipeline already chose and never becomes the shuffle
+    bottleneck.
+
+    NULL / empty corpus vectors report max_bench_sim = -1.0 (never
+    contaminated); an empty benchmark flags nothing.
+    """
+    bd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    bnorm = F.sqrt(F.aggregate(bd, F.lit(0.0), lambda a, x: a + x * x))
+    bench_row = benchmark.select(
+        F.struct(bd.alias("v"), bnorm.alias("n")).alias("_b")
+    ).agg(F.collect_list("_b").alias("_bench"))
+
+    cd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cnorm = F.sqrt(F.aggregate(cd, F.lit(0.0), lambda a, x: a + x * x))
+
+    def _best(acc, b):
+        dot = F.aggregate(
+            F.zip_with(cd, b["v"], lambda x, y: x * y),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        # greatest() skips NULLs, so a NULL vector (NULL dot) leaves the
+        # accumulator at its floor instead of poisoning the max
+        return F.greatest(acc, dot / (cnorm * b["n"]))
+
+    max_sim = F.round(F.aggregate(F.col("_bench"), F.lit(-1.0), _best), 6)
+    return (
+        corpus.crossJoin(F.broadcast(bench_row))
+        .select(
+            F.col(id_col),
+            max_sim.alias("max_bench_sim"),
+            (max_sim >= F.lit(threshold)).alias("contaminated"),
+        )
+    )

@@ -589,3 +589,54 @@ def test_dedup_incremental_verify_rejects_bad_index(spark):
     bad = spark.createDataFrame([("a",)], "content_hash string")
     with pytest.raises(ValueError, match="no h"):
         D.dedup_incremental_verify(batch, bad)
+
+
+# ---------------------------------------------------------------------------
+# semantic_decontaminate
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def decon_vectors(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),    # == bench vector 100
+        (2, [0.9, 0.1, 0.0]),    # near bench 100
+        (3, [0.0, 1.0, 0.0]),    # orthogonal to both bench vectors
+        (4, [0.0, 0.0, -1.0]),   # anti-parallel to bench 101
+        (5, None),               # NULL embedding
+        (100, [2.0, 0.0, 0.0]),  # bench member (same direction as 1)
+        (101, [0.0, 0.0, 1.0]),  # bench member
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_semantic_decontaminate_flags_near_bench(decon_vectors):
+    bench = decon_vectors.filter(F.col("vec_id") >= 100)
+    out = {
+        r["vec_id"]: (r["max_bench_sim"], r["contaminated"])
+        for r in S.semantic_decontaminate(decon_vectors, bench, threshold=0.9).collect()
+    }
+    assert out[1] == (1.0, True)          # exact direction match
+    assert out[100] == (1.0, True)        # bench member self-hit
+    assert out[2][1] is True and out[2][0] > 0.99   # cos([.9,.1,0],[1,0,0])~0.9939
+    assert out[3] == (0.0, False)         # orthogonal
+    assert out[4] == (0.0, False)         # anti-parallel: max is vs bench 100 (0.0)
+    assert out[5] == (-1.0, False)        # NULL embedding never contaminates
+
+
+def test_semantic_decontaminate_threshold_boundary(decon_vectors):
+    """The threshold compares against the ROUNDED max-sim (both engines
+    round to 6 digits before the comparison)."""
+    bench = decon_vectors.filter(F.col("vec_id") >= 100)
+    strict = {
+        r["vec_id"]: r["contaminated"]
+        for r in S.semantic_decontaminate(decon_vectors, bench, threshold=1.0).collect()
+    }
+    assert strict[1] is True and strict[2] is False
+
+
+def test_semantic_decontaminate_empty_benchmark(decon_vectors):
+    bench = decon_vectors.filter(F.col("vec_id") < 0)
+    out = S.semantic_decontaminate(decon_vectors, bench, threshold=0.1).collect()
+    assert len(out) == decon_vectors.count()
+    assert all(r["contaminated"] is False and r["max_bench_sim"] == -1.0 for r in out)

@@ -45,11 +45,12 @@ def plans(spark):
 
 
 #: Deliberate small-side cross joins: the brute-force ANN verifier joins a
-#: broadcast query set against every document (O(Q*N) by contract), and the
+#: broadcast query set against every document (O(Q*N) by contract), the
 #: decontamination operator probes a broadcast benchmark n-gram set the same
-#: way. BroadcastNestedLoopJoin is the *intended* strategy there; anywhere
-#: else it means an equi-join condition was lost.
-BNLJ_ALLOWED = {"ann_topk", "ann_recall", "decontaminate"}
+#: way, and semantic_decontaminate attaches a single broadcast row carrying
+#: the benchmark-embedding array. BroadcastNestedLoopJoin is the *intended*
+#: strategy there; anywhere else it means an equi-join condition was lost.
+BNLJ_ALLOWED = {"ann_topk", "ann_recall", "decontaminate", "semantic_decontaminate"}
 
 
 def test_no_cartesian_product_anywhere(plans):
@@ -155,6 +156,19 @@ def test_corpus_mix_broadcasts_rates_never_shuffles_corpus(plans):
 
     plan = plans["corpus_mix"]
     assert "BroadcastHashJoin" in plan
+    hash_exchanges = re.findall(r"\(\d+\) Exchange", plan)
+    assert len(hash_exchanges) == 1, plan[:2000]
+
+
+def test_semantic_decontaminate_never_shuffles_corpus(plans):
+    """semantic_decontaminate's contract: the corpus is scanned once,
+    map-side only — the benchmark rides a single broadcast row
+    (BuildRight BNLJ) and the only hash Exchange in the plan is the
+    tiny benchmark-side collect_list aggregation."""
+    import re
+
+    plan = plans["semantic_decontaminate"]
+    assert "BroadcastNestedLoopJoin" in plan and "BuildRight" in plan
     hash_exchanges = re.findall(r"\(\d+\) Exchange", plan)
     assert len(hash_exchanges) == 1, plan[:2000]
 
