@@ -162,6 +162,22 @@ def _block_means(gray: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     return out
 
 
+def resize_area(pixels: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Area-mean resize of a uint8 (h,w) or (h,w,3) image to
+    (out_h, out_w[,3]) — each output pixel is the mean of its source
+    block (per channel), rounded half-up to uint8. Deterministic pure
+    numpy; the same block-mean kernel the perceptual hashes use."""
+    a = np.asarray(pixels)
+    if a.ndim == 2:
+        return np.floor(_block_means(a, out_h, out_w) + 0.5).astype(np.uint8)
+    if a.ndim == 3 and a.shape[2] == 3:
+        chans = [
+            np.floor(_block_means(a[..., c], out_h, out_w) + 0.5) for c in range(3)
+        ]
+        return np.stack(chans, axis=2).astype(np.uint8)
+    raise ValueError(f"pixels must be (h,w) or (h,w,3), got shape {a.shape}")
+
+
 def _pack_bits(bits: np.ndarray) -> int:
     """Row-major bool array -> int, MSB first; returned as a SIGNED
     64-bit value so it fits a Spark LongType column unchanged."""

@@ -2,11 +2,12 @@
 
 Image/audio/video content rides through the pipeline as ``binary``
 columns with a content-type column; decode / feature-extract / resize /
-frame-sample run as Arrow-batched ``mapInPandas`` stages. The actual
-codec work is STUBBED (the image/audio libraries are not in this
-container): ``decode_stub`` produces deterministic fake features derived
-from the payload hash, and the real-decoder seam is a single function
-swap. Everything Spark-side — schema, partitioning, UDF signature,
+frame-sample run as Arrow-batched ``mapInPandas`` stages. WAV and netpbm
+payloads decode/resize through the real pure-numpy codecs in
+``functions.codecs``; for every other format the codec work is STUBBED
+(the image/audio libraries are not in this container): ``decode_stub``
+produces deterministic fake features derived from the payload hash, and
+the real-decoder seam is a single function swap. Everything Spark-side — schema, partitioning, UDF signature,
 Arrow batch shape — is real and tested.
 """
 
@@ -110,3 +111,55 @@ def frame_sample(df: DataFrame, every_n: int = 4) -> DataFrame:
         lambda i: i % every_n == 0,
     )
     return df.withColumn("frame_idx", F.explode(frames))
+
+
+#: Output schema of image_resize.
+RESIZED_SCHEMA = "doc_id long, payload binary, height int, width int"
+
+
+def image_resize(
+    df: DataFrame,
+    out_h: int,
+    out_w: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    content_type_col: str = "content_type",
+) -> DataFrame:
+    """Resize netpbm image payloads to (out_h, out_w) by deterministic
+    area-mean pooling, re-encoded as netpbm: (id, payload, height,
+    width). Non-image rows (content_type not image/*) and undecodable
+    payloads yield NULL payload/dims instead of failing the batch — at
+    100 TB a corrupt blob must not kill the stage.
+
+    Runs as an Arrow-batched ``mapInPandas`` stage (decode + resize +
+    re-encode are per-row CPU work, no state across batches), the same
+    partitioning contract a PIL/ffmpeg resizer needs — embarrassingly
+    parallel, zero shuffle."""
+    from ..functions.codecs import decode_pnm, encode_pnm, resize_area
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payload, heights, widths = [], [], []
+            for ctype, payload in zip(pdf[content_type_col], pdf[payload_col]):
+                resized = None
+                if payload is not None and str(ctype).startswith("image/"):
+                    try:
+                        small = resize_area(decode_pnm(payload), out_h, out_w)
+                        resized = encode_pnm(small)
+                    except ValueError:
+                        resized = None
+                out_payload.append(resized)
+                heights.append(out_h if resized is not None else None)
+                widths.append(out_w if resized is not None else None)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "payload": out_payload,
+                    "height": pd.array(heights, dtype="Int32"),
+                    "width": pd.array(widths, dtype="Int32"),
+                }
+            )
+
+    return df.select(id_col, content_type_col, payload_col).mapInPandas(
+        _resize, schema=RESIZED_SCHEMA
+    )

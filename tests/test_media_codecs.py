@@ -208,3 +208,53 @@ def test_hamming_band_pairs_purges_hot_buckets(spark):
     assert pairs.count() == 0
     audit = purged.collect()
     assert audit and all(r["band_population"] == 50 for r in audit)
+
+
+# ---------------------------------------------------------------------------
+# resize_area / image_resize
+# ---------------------------------------------------------------------------
+
+
+def test_resize_area_constant_and_gradient():
+    from spinebasedrecordlinkage_jl_spark.functions.codecs import resize_area
+
+    flat = np.full((16, 12), 200, dtype=np.uint8)
+    out = resize_area(flat, 4, 3)
+    assert out.shape == (4, 3) and out.dtype == np.uint8
+    assert (out == 200).all()
+
+    # 2x2 block means of a known gradient, rounded half-up
+    g = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    out = resize_area(g, 2, 2)
+    assert out.tolist() == [[3, 5], [11, 13]]  # e.g. mean(0,1,4,5)=2.5 -> 3
+
+    rgb = np.stack([flat, flat // 2, np.zeros_like(flat)], axis=2)
+    out3 = resize_area(rgb, 4, 3)
+    assert out3.shape == (4, 3, 3)
+    assert (out3[..., 0] == 200).all() and (out3[..., 2] == 0).all()
+
+    with pytest.raises(ValueError):
+        resize_area(np.zeros((4, 4, 2), dtype=np.uint8), 2, 2)
+
+
+def test_image_resize_operator(spark, sf_dir):
+    from spinebasedrecordlinkage_jl_spark.functions.codecs import decode_pnm
+    from spinebasedrecordlinkage_jl_spark.operators.multimodal import image_resize
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(6)
+    payloads = synthesize_media_payloads(docs, kind="both")
+    # one corrupt image row must not fail the stage
+    corrupt = spark.createDataFrame(
+        [(9_999_999, "image/x-portable-pixmap", bytearray(b"P6 garbage"))],
+        "doc_id long, content_type string, payload binary",
+    )
+    rows = image_resize(payloads.unionByName(corrupt), 8, 8).collect()
+    assert len(rows) == 13  # 6 image + 6 audio + 1 corrupt
+    resized = [r for r in rows if r["payload"] is not None]
+    for r in resized:
+        assert (r["height"], r["width"]) == (8, 8)
+        assert decode_pnm(bytes(r["payload"])).shape == (8, 8, 3)
+    assert len(resized) == 6               # every real image resized
+    # corrupt image -> NULL (no stage failure); audio rows pass through NULL
+    null_ids = {r["doc_id"] for r in rows if r["payload"] is None}
+    assert 9_999_999 in null_ids and len(null_ids - {9_999_999}) == 6
