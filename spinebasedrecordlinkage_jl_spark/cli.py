@@ -152,10 +152,10 @@ def _parse_weights(spec: str, flag: str) -> dict[str, float]:
 
 
 def cmd_curate(args) -> int:
-    """One-command corpus curation: quality gate -> exact-dedup
-    canonicals -> (optional) token-budget source mixing -> sharded
-    parquet output, with before/after per-source datasheets written as
-    one report CSV. The whole keep-decision is lazy Spark plans over
+    """One-command corpus curation: quality gate -> (optional) benchmark
+    decontamination -> exact-dedup canonicals -> (optional) token-budget
+    source mixing -> sharded parquet output, with before/after
+    per-source datasheets written as one report CSV. The whole keep-decision is lazy Spark plans over
     the input scan; the only materializations are the two reports and
     the final sharded write."""
     from pyspark.sql import functions as F
@@ -174,6 +174,16 @@ def cmd_curate(args) -> int:
     before = C.corpus_report(docs).toPandas().assign(stage="input")
 
     kept = docs.join(C.quality_filter(docs).filter("keep"), "doc_id", "left_semi")
+    if args.decontaminate:
+        bench = read_table(spark, args.decontaminate)
+        if "text" not in bench.columns:
+            raise SystemExit(
+                "curate: --decontaminate table is missing required column 'text'"
+            )
+        clean = C.decontaminate(kept, bench, n=args.decon_n).filter(
+            "NOT contaminated"
+        )
+        kept = kept.join(clean.select("doc_id"), "doc_id", "left_semi")
     canon = kept.join(
         D.exact_dedup(kept).select(F.col("keep_id").alias("doc_id")),
         "doc_id",
@@ -274,6 +284,8 @@ def main(argv=None) -> int:
     cu.add_argument("outdir", help="output directory (corpus/, report.csv, manifest.csv)")
     cu.add_argument("--mix-budget", type=int, default=0, help="token budget for source mixing (0 = no mixing)")
     cu.add_argument("--mix-weights", default="", help="source weights, e.g. 'web=0.6,code=0.4'")
+    cu.add_argument("--decontaminate", default="", metavar="BENCH", help="benchmark/eval documents table (parquet/csv/jsonl with a text column); documents sharing any word n-gram with it are dropped")
+    cu.add_argument("--decon-n", type=int, default=13, help="word n-gram size for --decontaminate (default 13)")
     cu.add_argument("--split-weights", default="", help="deterministic train/val/test assignment, e.g. 'train=0.98,val=0.01,test=0.01' (output partitions by split)")
     cu.add_argument("--epoch-shuffle", type=int, default=None, metavar="EPOCH", help="write shards in the deterministic epoch-EPOCH shuffle order")
     cu.add_argument("--max-records-per-file", type=int, default=100_000)

@@ -255,3 +255,36 @@ def test_cli_curate_split_weight_errors(spark, tmp_path):
         cli.main(["curate", p, out, "--split-weights", "train=0.8,val=0.1"])
     with pytest.raises(SystemExit, match="malformed --split-weights"):
         cli.main(["curate", p, out, "--split-weights", "train"])
+
+
+def test_cli_curate_decontaminate(spark, tmp_path):
+    """--decontaminate drops documents sharing a word n-gram with the
+    benchmark table; everything else survives unchanged."""
+    import pytest
+    good = (
+        "this is a perfectly reasonable document with enough plain words "
+        "that the quality gate will let it through because it is long and "
+        "has the usual stopword density of real prose "
+    )
+    leak = "the secret benchmark answer is exactly forty two believe me"
+    rows = [(i, "web", good + f"tail {i}") for i in range(10)]
+    rows += [(50, "web", good + leak + " padded out with more plain text")]
+    docs_path = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, source string, text string").write.parquet(docs_path)
+
+    bench_path = str(tmp_path / "bench.parquet")
+    spark.createDataFrame([(1, leak)], "doc_id long, text string").write.parquet(bench_path)
+
+    out = str(tmp_path / "curated")
+    assert cli.main([
+        "curate", docs_path, out,
+        "--decontaminate", bench_path, "--decon-n", "5",
+    ]) == 0
+    ids = {r["doc_id"] for r in spark.read.parquet(f"{out}/corpus").select("doc_id").collect()}
+    assert 50 not in ids and len(ids) == 10
+
+    # a benchmark table without text is a config error, not a crash
+    bad = str(tmp_path / "bad.parquet")
+    spark.createDataFrame([(1,)], "x long").write.parquet(bad)
+    with pytest.raises(SystemExit, match="text"):
+        cli.main(["curate", docs_path, str(tmp_path / "o2"), "--decontaminate", bad])
