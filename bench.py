@@ -74,6 +74,7 @@ EXTENDED = [
     "split_leakage",
     "epoch_shuffle",
     "semantic_decontaminate",
+    "ann_ivf_recall",
 ]
 
 

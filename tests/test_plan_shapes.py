@@ -50,7 +50,13 @@ def plans(spark):
 #: way, and semantic_decontaminate attaches a single broadcast row carrying
 #: the benchmark-embedding array. BroadcastNestedLoopJoin is the *intended*
 #: strategy there; anywhere else it means an equi-join condition was lost.
-BNLJ_ALLOWED = {"ann_topk", "ann_recall", "decontaminate", "semantic_decontaminate"}
+BNLJ_ALLOWED = {
+    "ann_topk",
+    "ann_recall",
+    "ann_ivf_recall",
+    "decontaminate",
+    "semantic_decontaminate",
+}
 
 
 def test_no_cartesian_product_anywhere(plans):
