@@ -75,6 +75,7 @@ EXTENDED = [
     "epoch_shuffle",
     "semantic_decontaminate",
     "ann_ivf_recall",
+    "strip_dup_spans",
 ]
 
 

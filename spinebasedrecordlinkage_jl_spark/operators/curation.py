@@ -799,6 +799,105 @@ def dup_spans_topk(
     )
 
 
+def strip_dup_spans(
+    docs: DataFrame,
+    n: int = 20,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove corpus-duplicated exact word n-gram spans from every
+    document — the ACTION the ``dup_span_stats`` diagnostic points at
+    (Lee et al. substring dedup): any token covered by a span occurring
+    >= ``min_count`` times corpus-wide is dropped, and the document is
+    rebuilt from the surviving tokens in order.
+
+    Output: ``(id_col, text_stripped, n_tokens, n_tokens_removed)``,
+    one row per input document. ``text_stripped`` is in normalized
+    token space (trim/lower/single-space — the same normalization every
+    member of the span family matches in); NULL text stays NULL, a
+    fully-boilerplate document becomes the empty string.
+
+    100 TB shape: span occurrences contract per (doc, span-hash) first
+    (map-side-combinable, doc-keyed — cannot run hot), the global
+    occurrence count aggregates the contracted relation on the
+    fixed-width md5 key, and duplicated hashes join back under AQE.
+    Coverage then explodes to (doc, token-position) rows — bounded by
+    n x duplicated-span occurrences, and de-duplicated on a
+    (doc, pos) key that embeds the doc id. The rebuild is one doc-keyed
+    groupBy (sort_array over collected (pos, token) structs — a
+    within-group array sort, never a corpus-wide window). Token-level
+    rewriting is inherently O(total tokens); every relation here is
+    keyed by doc id or a uniform hash, so no key can be skewed.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    # every span occurrence with its 1-based start-token index
+    spans = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            word_ngrams(F.col(text_col), n, distinct=False)
+        ).alias("_p", "_span"),
+    ).select(
+        id_col, (F.col("_p") + 1).alias("_start"), F.md5(F.col("_span")).alias("_h")
+    )
+    per_doc = spans.groupBy(id_col, "_h").agg(
+        F.count("*").alias("_cnt"), F.collect_list("_start").alias("_starts")
+    )
+    dup_hashes = (
+        per_doc.groupBy("_h")
+        .agg(F.sum("_cnt").alias("_occ"))
+        .filter(F.col("_occ") >= min_count)
+        .select("_h")
+    )
+    covered = (
+        per_doc.join(dup_hashes, "_h")
+        .select(F.col(id_col), F.explode("_starts").alias("_start"))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("_start"), F.col("_start") + F.lit(n - 1))
+            ).alias("_pos"),
+        )
+        .distinct()
+    )
+    tokens = docs.select(
+        F.col(id_col), F.posexplode(toks).alias("_p", "_tok")
+    ).select(id_col, (F.col("_p") + 1).alias("_pos"), "_tok")
+    rebuilt = (
+        tokens.join(covered, [id_col, "_pos"], "left_anti")
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_tok"))),
+                    lambda s: s["_tok"],
+                ),
+                " ",
+            ).alias("_txt"),
+            F.count("*").cast("bigint").alias("_n_kept"),
+        )
+    )
+    n_tokens = (
+        F.when(F.col(text_col).isNull(), F.lit(0))
+        .otherwise(F.size(toks))
+        .cast("bigint")
+    )
+    return (
+        docs.select(F.col(id_col), F.col(text_col), n_tokens.alias("n_tokens"))
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+            .otherwise(F.coalesce(F.col("_txt"), F.lit("")))
+            .alias("text_stripped"),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_tokens_removed"),
+        )
+    )
+
+
 def split_corpus(
     df: DataFrame,
     weights: dict[str, float] | None = None,

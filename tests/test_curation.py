@@ -552,3 +552,49 @@ def test_split_leakage_broadcasts_eval_side(spark):
     )
     plan = C.split_leakage(docs, n=5)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_strip_dup_spans_removes_covered_tokens(spark):
+    rows = [
+        (1, "alpha beta gamma delta unique one"),
+        (2, "other words alpha beta gamma delta more stuff"),
+        (3, "totally unrelated text here now"),
+        (4, None),
+        (5, "alpha beta gamma delta"),   # fully boilerplate
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in C.strip_dup_spans(df, n=4, min_count=2).collect()}
+    assert len(out) == 5                           # one row per input doc
+    assert out[1]["text_stripped"] == "unique one"
+    assert (out[1]["n_tokens"], out[1]["n_tokens_removed"]) == (6, 4)
+    assert out[2]["text_stripped"] == "other words more stuff"
+    assert out[3]["text_stripped"] == "totally unrelated text here now"
+    assert out[3]["n_tokens_removed"] == 0
+    assert out[4]["text_stripped"] is None         # NULL text stays NULL
+    assert (out[4]["n_tokens"], out[4]["n_tokens_removed"]) == (0, 0)
+    assert out[5]["text_stripped"] == ""           # fully covered -> empty
+    assert out[5]["n_tokens_removed"] == 4
+
+
+def test_strip_dup_spans_overlapping_spans_cover_union(spark):
+    # "a b c d e" vs "a b c d x" + "x b c d e": doc 20's dup spans
+    # [a b c d] and [b c d e] overlap; covered tokens are the UNION
+    # (all 5), not double-counted.
+    rows = [
+        (20, "a b c d e tail"),
+        (21, "a b c d x"),
+        (22, "x b c d e"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in C.strip_dup_spans(df, n=4, min_count=2).collect()}
+    assert out[20]["text_stripped"] == "tail"
+    assert out[20]["n_tokens_removed"] == 5
+
+
+def test_strip_dup_spans_within_doc_repeat(spark):
+    # a span repeated within ONE doc reaches min_count by itself
+    rows = [(30, "x y z pad x y z"), (31, "unrelated words entirely here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in C.strip_dup_spans(df, n=3, min_count=2).collect()}
+    assert out[30]["text_stripped"] == "pad"
+    assert out[31]["n_tokens_removed"] == 0
