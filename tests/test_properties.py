@@ -183,3 +183,49 @@ def test_epoch_shuffle_matches_python_reference_order(spark, n, epoch, parts):
         range(n), key=lambda i: hashlib.md5(f"shuffle:{epoch}:{i}".encode()).hexdigest()
     )
     assert got == expect
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    n=st.integers(min_value=2, max_value=4),
+    min_count=st.integers(min_value=2, max_value=3),
+)
+@settings(**_SETTINGS)
+def test_strip_dup_spans_matches_python_reference(spark, docs, n, min_count):
+    """A tiny alphabet forces span collisions; the Spark transform must
+    match a direct Python implementation: global span counts -> covered
+    position union -> ordered-survivor rebuild."""
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text_stripped"], r["n_tokens"], r["n_tokens_removed"])
+        for r in C.strip_dup_spans(df, n=n, min_count=min_count).collect()
+    }
+
+    # Python reference. NOTE the tokenizer edge the engine inherits from
+    # split(): an empty/whitespace text yields ONE empty token.
+    toksed = {
+        i: (" ".join(t).strip().split(" ") if " ".join(t).strip() else [""])
+        for i, t in enumerate(docs)
+    }
+    counts: dict = {}
+    for i, t in toksed.items():
+        for s in range(len(t) - n + 1):
+            g = " ".join(t[s : s + n])
+            counts[g] = counts.get(g, 0) + 1
+    for i, t in toksed.items():
+        covered = set()
+        for s in range(len(t) - n + 1):
+            if counts[" ".join(t[s : s + n])] >= min_count:
+                covered.update(range(s, s + n))
+        kept = [tok for p, tok in enumerate(t) if p not in covered]
+        expect = (" ".join(kept), len(t), len(t) - len(kept))
+        assert got[i] == expect, (i, t, got[i], expect)
