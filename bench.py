@@ -76,6 +76,7 @@ EXTENDED = [
     "semantic_decontaminate",
     "ann_ivf_recall",
     "strip_dup_spans",
+    "turn_boilerplate",
 ]
 
 

@@ -347,3 +347,53 @@ def truncate_conversations(
         "cum_tokens", F.sum("n_turn_tokens").over(w)
     )
     return out.filter(F.col("cum_tokens") <= max_tokens)
+
+
+def turn_boilerplate(
+    transcripts: DataFrame,
+    min_convs: int = 3,
+) -> DataFrame:
+    """Cross-conversation canned-turn detection: a turn is boilerplate
+    when its normalized text appears — under the same role — in
+    >= ``min_convs`` DISTINCT conversations (templated tool output,
+    canned assistant responses; the transcript-tier twin of the
+    corpus-level ``line_dedup``). Output: one row per input turn,
+    ``(conv_id, turn_idx, role, n_convs_with_text, is_boilerplate)``.
+    NULL text is never boilerplate (count 0).
+
+    100 TB shape: the distinct-conversation count contracts per
+    (role, text-hash, conv_id) first — both aggregations are
+    map-side-combinable, so a canned line shared by millions of
+    conversations is a hot VALUE but never a hot unsplittable task —
+    and the flag frame the corpus joins back against has one row per
+    distinct (role, text): the turn vocabulary, not the corpus (AQE
+    broadcasts it when small). The corpus itself shuffles once, on the
+    fixed-width hash key.
+    """
+    if min_convs < 1:
+        raise ValueError(f"min_convs must be >= 1, got {min_convs}")
+    key = F.md5(F.concat_ws(" ", F.col("role"), F.trim(F.lower(F.col("text")))))
+    with_key = transcripts.withColumn(
+        "_k", F.when(F.col("text").isNull(), F.lit(None)).otherwise(key)
+    )
+    counts = (
+        with_key.filter(F.col("_k").isNotNull())
+        .select("_k", "conv_id")
+        .distinct()
+        .groupBy("_k")
+        .agg(F.count("*").cast("bigint").alias("_n_convs"))
+    )
+    return (
+        with_key.join(counts, "_k", "left")
+        .select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            F.coalesce(F.col("_n_convs"), F.lit(0))
+            .cast("bigint")
+            .alias("n_convs_with_text"),
+            (F.coalesce(F.col("_n_convs"), F.lit(0)) >= min_convs).alias(
+                "is_boilerplate"
+            ),
+        )
+    )

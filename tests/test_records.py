@@ -286,3 +286,39 @@ def test_truncate_conversations_prefix_semantics(spark):
 
     with pytest.raises(ValueError, match="max_tokens"):
         truncate_conversations(df, 0)
+
+
+def test_turn_boilerplate_flags_cross_conv_repeats(spark):
+    import pytest
+
+    from spinebasedrecordlinkage_jl_spark.operators.records import turn_boilerplate
+
+    rows = [
+        # "OK." appears (role=assistant) in 3 conversations
+        ("c1", 0, "user", "hello there"),
+        ("c1", 1, "assistant", "OK."),
+        ("c2", 0, "user", "different question"),
+        ("c2", 1, "assistant", "ok."),            # normalization: lower
+        ("c3", 0, "assistant", "  OK.  "),        # normalization: trim
+        # same text, different role -> separate key
+        ("c3", 1, "user", "OK."),
+        # repeated within ONE conversation -> counts that conv once
+        ("c4", 0, "assistant", "unique reply a"),
+        ("c4", 1, "assistant", "unique reply a"),
+        ("c5", 0, "user", None),                  # NULL text never flags
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, text string")
+    out = {(r["conv_id"], r["turn_idx"]): r for r in turn_boilerplate(df, min_convs=3).collect()}
+    assert len(out) == len(rows)                  # one row per input turn
+    assert out[("c1", 1)]["n_convs_with_text"] == 3
+    assert out[("c1", 1)]["is_boilerplate"] is True
+    assert out[("c2", 1)]["is_boilerplate"] is True
+    assert out[("c3", 0)]["is_boilerplate"] is True
+    assert out[("c3", 1)]["n_convs_with_text"] == 1   # user "OK." distinct key
+    assert out[("c4", 0)]["n_convs_with_text"] == 1   # within-conv repeat = 1 conv
+    assert out[("c4", 1)]["is_boilerplate"] is False
+    assert out[("c5", 0)]["n_convs_with_text"] == 0
+    assert out[("c5", 0)]["is_boilerplate"] is False
+
+    with pytest.raises(ValueError, match="min_convs"):
+        turn_boilerplate(df, min_convs=0)
