@@ -148,8 +148,13 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return e1.union(e2).filter(F.col("src") != F.col("dst")).distinct()
 
 
+#: "auto" convergence picks star below this many edges (env
+#: SPINELINK_CC_AUTO_STAR_EDGES). Rationale in connected_components.
+_CC_AUTO_STAR_EDGES = int(_os.environ.get("SPINELINK_CC_AUTO_STAR_EDGES", "2000000"))
+
+
 def connected_components(
-    edges: DataFrame, max_iter: int = 30, convergence: str = "checksum"
+    edges: DataFrame, max_iter: int = 30, convergence: str = "auto"
 ) -> DataFrame:
     """edges(src, dst) -> components(id, component).
 
@@ -159,12 +164,20 @@ def connected_components(
     only appear as isolated vertices are the caller's concern (left-join
     + coalesce with their own id).
 
-    ``convergence`` (both sound; checksum is the default — MEASURED, not
-    assumed: on the 26M-turn bootstrap a star default cost +36% at 8
-    cores / +56% at 2, because the per-round star-forest check shuffles
-    the full edge relation while checksum's check is a shuffle-free
-    aggregate; the one contraction round star saves does not pay for
-    3-4 extra edge-relation shuffles):
+    ``convergence`` (all sound — the mode only decides WHEN to stop, the
+    fixpoint edge set is identical):
+    - ``"auto"`` (default, r6): derive the mode from the measured edge
+      count at bootstrap — ``star`` when the materialized edge relation
+      is small (<= SPINELINK_CC_AUTO_STAR_EDGES, default 2M: there the
+      per-round cost is stage latency, not shuffle bytes, and star's
+      one-round-earlier stop wins), ``checksum`` when it is large (the
+      r5 measurement: a star default cost +36%/+56% on the 26M-turn
+      bootstrap because its per-round check shuffles the full edge
+      relation while checksum's is a shuffle-free aggregate). The count
+      is one cheap job over the already-cached bootstrap RDD — a
+      scale-adaptive decision instead of a constant tuned for either
+      regime (optimization guide §2).
+    - ``"checksum"``/``"star"`` force a mode:
     - ``"checksum"``: stop when (count, bit_xor hash) repeats — a
       shuffle-free single-stage aggregate per round, but always runs one
       confirming round past the fixpoint.
@@ -185,8 +198,15 @@ def connected_components(
     if not isinstance(e.schema["src"].dataType, StructType):
         e = e.select(F.col("src").cast("long"), F.col("dst").cast("long"))
     e = e.localCheckpoint(eager=True)
+    if convergence == "auto":
+        n_edges = e.count()  # cached RDD — one cheap scan, no shuffle
+        convergence = "star" if n_edges <= _CC_AUTO_STAR_EDGES else "checksum"
     if debug:
-        print(f"[cc] bootstrap (edge materialization): {time.time() - t0:.2f}s", flush=True)
+        print(
+            f"[cc] bootstrap (edge materialization): {time.time() - t0:.2f}s"
+            f" mode={convergence}",
+            flush=True,
+        )
 
     def _checksum(df: DataFrame) -> tuple[int, int]:
         row = df.agg(
@@ -246,7 +266,9 @@ def connected_components(
 # ---------------------------------------------------------------------------
 
 
-def exact_key_edges(records: DataFrame, crit: LinkageCriteria) -> DataFrame:
+def exact_key_edges(
+    records: DataFrame, crit: LinkageCriteria, records_distinct_on_key: bool = False
+) -> DataFrame:
     """Linear-cost edges for an EXACT-ONLY criterion: every record with a
     complete key connects to the MINIMUM EventId of its key block (one
     groupBy + join back on the raw key columns). Connected components are
@@ -272,6 +294,15 @@ def exact_key_edges(records: DataFrame, crit: LinkageCriteria) -> DataFrame:
     out = records
     for dc in keycols:
         out = out.filter(F.col(dc).isNotNull())
+    if records_distinct_on_key:
+        # r6 fast path (caller GUARANTEES records are distinct on the key
+        # columns — form_entities' contracted signature relation when the
+        # criterion reads every global signature column): each key block
+        # has exactly one record, so min(EventId) per block IS the
+        # record's own EventId and the groupBy + join-back collapses to
+        # the self-loop marker relation — zero shuffles (plan: 2 Exchange
+        # -> 0).
+        return out.select(F.col("EventId").alias("src"), F.col("EventId").alias("dst"))
     mins = out.groupBy(*keycols).agg(F.min("EventId").alias("dst"))
     # the representative's own (m, m) SELF-LOOP is kept deliberately: it
     # marks the node as participating under this criterion even when its
@@ -286,6 +317,7 @@ def match_pairs(
     records: DataFrame,
     crit: LinkageCriteria,
     max_block_signatures: int | None = 10_000,
+    records_distinct_on_sig: bool = False,
 ) -> DataFrame:
     """Match edges among records under one criteria-set, star-contracted:
     ``(src, dst)`` where every node is an EventId (each signature is
@@ -350,8 +382,20 @@ def match_pairs(
     sig_cols = list(dict.fromkeys(exact_dc + exact_sc + approx_dc + approx_sc))
 
     # one row per distinct signature + its min-EventId representative
-    # (GROUP BY groups nulls like the old null-sentinel hashing did)
-    sigs = records.groupBy(*sig_cols).agg(F.min("EventId").alias("_m"))
+    # (GROUP BY groups nulls like the old null-sentinel hashing did).
+    # r6 fast path: when the caller GUARANTEES records are already
+    # distinct on sig_cols (form_entities' contracted signature relation
+    # whenever the criterion reads every global signature column), the
+    # groupBy is an identity aggregation — skip its shuffle, and the
+    # record->representative join-back at the bottom degenerates to the
+    # participating representatives' own self-loops (each signature's
+    # only record IS its min). Two exchanges + one record-level null-safe
+    # join removed per criterion; the scored candidate join itself is
+    # unchanged, so edges are identical.
+    if records_distinct_on_sig:
+        sigs = records.select(*sig_cols, F.col("EventId").alias("_m"))
+    else:
+        sigs = records.groupBy(*sig_cols).agg(F.min("EventId").alias("_m"))
 
     a = sigs.alias("a")
     b = sigs.alias("b")
@@ -396,6 +440,14 @@ def match_pairs(
         .union(matched.select(F.col("y").alias("_m")))
         .distinct()
     )
+    if records_distinct_on_sig:
+        # every participating signature has exactly one record — its
+        # representative — so the join-back is the identity and the
+        # record edges are the participating self-loops themselves
+        rec_edges = participating.select(
+            F.col("_m").alias("src"), F.col("_m").alias("dst")
+        )
+        return rec_edges.select("src", "dst").union(vv.select("src", "dst"))
     psigs = sigs.join(participating, "_m", "left_semi").alias("s")
     r = records.alias("r")
     jcond = None
@@ -444,7 +496,7 @@ def form_entities(
     max_block_signatures: int | None = 10_000,
     order_col: str | None = None,
     entity_id_expr: Column | None = None,
-    cc_convergence: str = "checksum",
+    cc_convergence: str = "auto",
     cc_max_iter: int = 30,
 ) -> tuple[DataFrame, DataFrame]:
     """Create entities from unlinked records -> ``(new_spine_rows, links)``.
@@ -582,6 +634,7 @@ def form_entities(
     audit_thread.start()
 
     def _contract(collide: frozenset[int]) -> tuple[DataFrame, DataFrame]:
+        _te = _time.time()
         gs = _node64("gsig", gs_cols, collide)
         eligible_g = eligible.withColumn("_gs", gs)
         gs_records = sigs_rel.withColumn("EventId", _node64("gsig", gs_cols, collide))
@@ -590,11 +643,32 @@ def form_entities(
         for c in criteria:
             # exact-only criteria: linear min-member key stars (skew-
             # immune); fuzzy criteria: signature-pair scored edges within
-            # the exact block, star-contracted to min representatives
+            # the exact block, star-contracted to min representatives.
+            # r6: gs_records is distinct on the GLOBAL signature tuple by
+            # construction, so when this criterion reads every global
+            # column the generator's own contraction groupBy + record
+            # join-back are identity operations — pass the distinct flag
+            # and they are skipped (2-3 exchanges less per criterion;
+            # identical edges).
+            # exact_key_edges groups on the KEY columns alone, match_pairs
+            # on the criterion's full signature tuple — each flag asserts
+            # distinctness on exactly the columns its generator groups by
+            key_covers = set(c.exactmatch.keys()) == set(global_cols)
+            sig_covers = set(
+                list(c.exactmatch.keys())
+                + list(c.exactmatch.values())
+                + [am.datacolumn for am in c.approxmatch]
+                + [am.spinecolumn for am in c.approxmatch]
+            ) == set(global_cols)
             p = (
-                exact_key_edges(gs_records, c)
+                exact_key_edges(gs_records, c, records_distinct_on_key=key_covers)
                 if not c.approxmatch
-                else match_pairs(gs_records, c, max_block_signatures=max_block_signatures)
+                else match_pairs(
+                    gs_records,
+                    c,
+                    max_block_signatures=max_block_signatures,
+                    records_distinct_on_sig=sig_covers,
+                )
             )
             # fresh output attributes per union branch: the branches share
             # lineage (all derive from `gs_records`), which trips Catalyst's
@@ -607,6 +681,8 @@ def form_entities(
         # absorb them — the distinct would add a full shuffle of the edge
         # relation to the bootstrap for nothing
         edges = edges.localCheckpoint(eager=False)
+        if _os.environ.get("SPINELINK_CC_DEBUG") == "1":
+            print(f"[form] edge plan build: {_time.time() - _te:.2f}s", flush=True)
         # (id, component) over signatures
         comp = connected_components(edges, max_iter=cc_max_iter, convergence=cc_convergence)
         # self-loops mark PARTICIPATING signatures (self-matching under
@@ -625,8 +701,14 @@ def form_entities(
         comp = comp.unionByName(selfpart)
         return eligible_g, comp
 
+    _t1 = _time.time()
     eligible_g, comp = _contract(frozenset())
+    if _os.environ.get("SPINELINK_CC_DEBUG") == "1":
+        print(f"[form] contract (plan build + CC): {_time.time() - _t1:.2f}s", flush=True)
+    _t1 = _time.time()
     audit_thread.join()
+    if _os.environ.get("SPINELINK_CC_DEBUG") == "1":
+        print(f"[form] audit join wait: {_time.time() - _t1:.2f}s", flush=True)
     if "error" in audit:
         raise audit["error"]
     collide = audit["collide"]
