@@ -60,15 +60,24 @@ from pyspark.sql import functions as F
 from ..functions.text import punct_ratio, stopword_ratio, ws_token_count
 
 
-def word_ngrams(
-    text: Column, n: int = 5, max_tokens: int | None = None, distinct: bool = True
-) -> Column:
-    """Lowercase word n-grams (whitespace tokenization), optionally
-    capped at the first ``max_tokens`` tokens; ``distinct=False`` keeps
-    every occurrence (repetition statistics need multiplicity)."""
+def tokenize_words(text: Column, max_tokens: int | None = None) -> Column:
+    """Lowercase whitespace tokenization (the shared gram tokenizer)."""
     toks = F.split(F.trim(F.lower(text)), r"\s+")
     if max_tokens is not None:
         toks = F.slice(toks, 1, max_tokens)
+    return toks
+
+
+def word_ngrams_from_tokens(toks: Column, n: int = 5, distinct: bool = True) -> Column:
+    """Word n-grams over an ALREADY-TOKENIZED array column.
+
+    r6 perf note (guide §2 "per-task work"): callers that EXPLODE grams
+    should materialize the token array as its own projected column first
+    and pass that column here. Inside a Generate the full expression tree
+    is evaluated without common-subexpression elimination, so inlining
+    the tokenizer re-runs the regex split 3-4x per row (size guard,
+    sequence bound, every slice) — measured 2.5s vs 0.4s for the 5-gram
+    explode over the sf0.1 documents table."""
     count = F.size(toks) - (n - 1)
     # sequence(1, 0) yields a DESCENDING [1, 0] in Spark — guard short docs
     idx = F.when(count >= 1, F.sequence(F.lit(1), count)).otherwise(
@@ -76,6 +85,37 @@ def word_ngrams(
     )
     grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
     return F.array_distinct(grams) if distinct else grams
+
+
+def word_ngrams(
+    text: Column, n: int = 5, max_tokens: int | None = None, distinct: bool = True
+) -> Column:
+    """Lowercase word n-grams (whitespace tokenization), optionally
+    capped at the first ``max_tokens`` tokens; ``distinct=False`` keeps
+    every occurrence (repetition statistics need multiplicity)."""
+    return word_ngrams_from_tokens(tokenize_words(text, max_tokens), n, distinct)
+
+
+def _exploded_ngrams(
+    df: DataFrame,
+    text_col: str,
+    n: int,
+    out_name: str,
+    id_cols: tuple[str, ...] = (),
+    distinct: bool = True,
+    max_tokens: int | None = None,
+) -> DataFrame:
+    """(id_cols..., gram) rows with the token array projected BEFORE the
+    Generate — the evaluate-the-split-once shape every gram-exploding
+    operator here shares (see word_ngrams_from_tokens)."""
+    pre = df.select(
+        *[F.col(c) for c in id_cols],
+        tokenize_words(F.col(text_col), max_tokens).alias("_toks"),
+    )
+    return pre.select(
+        *[F.col(c) for c in id_cols],
+        F.explode(word_ngrams_from_tokens(F.col("_toks"), n, distinct)).alias(out_name),
+    )
 
 
 def decontaminate(
@@ -96,12 +136,8 @@ def decontaminate(
     shuffle is the per-document hit-count aggregation, keyed on the
     document id (already unique, no skew)."""
     bt = benchmark_text_col or text_col
-    bench_grams = benchmark.select(
-        F.explode(word_ngrams(F.col(bt), n)).alias("gram")
-    ).distinct()
-    doc_grams = docs.select(
-        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
-    )
+    bench_grams = _exploded_ngrams(benchmark, bt, n, "gram").distinct()
+    doc_grams = _exploded_ngrams(docs, text_col, n, "gram", id_cols=(id_col,))
     hits = (
         doc_grams.join(F.broadcast(bench_grams), "gram")
         .groupBy(id_col)
@@ -285,10 +321,7 @@ def repetition_stats(
 
     def _gram_counts(n: int) -> DataFrame:
         return (
-            docs.select(
-                F.col(id_col),
-                F.explode(word_ngrams(text, n, distinct=False)).alias("gram"),
-            )
+            _exploded_ngrams(docs, text_col, n, "gram", id_cols=(id_col,), distinct=False)
             .groupBy(id_col, "gram")
             .agg(F.count("*").alias("cnt"))
         )
@@ -724,9 +757,8 @@ def dup_span_stats(
     (broadcast when small). Three linear shuffles; no window over the
     corpus, no all-pairs anywhere.
     """
-    spans = docs.select(
-        F.col(id_col),
-        F.explode(word_ngrams(F.col(text_col), n, distinct=False)).alias("_span"),
+    spans = _exploded_ngrams(
+        docs, text_col, n, "_span", id_cols=(id_col,), distinct=False
     ).select(id_col, F.md5(F.col("_span")).alias("_h"))
     per_doc = spans.groupBy(id_col, "_h").agg(F.count("*").alias("_cnt"))
     dup_hashes = (
@@ -783,10 +815,7 @@ def dup_spans_topk(
     ``>= min_count`` filter drops the unique-span long tail before the
     ordering ever sees it.
     """
-    spans = docs.select(
-        F.col(id_col),
-        F.explode(word_ngrams(F.col(text_col), n, distinct=False)).alias("span"),
-    )
+    spans = _exploded_ngrams(docs, text_col, n, "span", id_cols=(id_col,), distinct=False)
     return (
         spans.groupBy("span")
         .agg(
@@ -831,11 +860,14 @@ def strip_dup_spans(
     keyed by doc id or a uniform hash, so no key can be skewed.
     """
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    # every span occurrence with its 1-based start-token index
+    # every span occurrence with its 1-based start-token index; tokens
+    # projected before the Generate (see word_ngrams_from_tokens)
     spans = docs.select(
+        F.col(id_col), tokenize_words(F.col(text_col)).alias("_toks")
+    ).select(
         F.col(id_col),
         F.posexplode(
-            word_ngrams(F.col(text_col), n, distinct=False)
+            word_ngrams_from_tokens(F.col("_toks"), n, distinct=False)
         ).alias("_p", "_span"),
     ).select(
         id_col, (F.col("_p") + 1).alias("_start"), F.md5(F.col("_span")).alias("_h")
@@ -1001,14 +1033,16 @@ def split_leakage(
     gate for the survivors.
     """
     assigned = split_corpus(docs, weights, key_col=key_col, salt=salt)
-    grams = word_ngrams(F.col(text_col), n)
+    grams = word_ngrams_from_tokens(F.col("_toks"), n)
     eval_docs = assigned.filter(F.col("split") != train_split)
     eval_grams = eval_docs.select(
-        F.col(key_col), F.col("split"), F.explode(grams).alias("gram")
-    )
+        F.col(key_col), F.col("split"), tokenize_words(F.col(text_col)).alias("_toks")
+    ).select(F.col(key_col), F.col("split"), F.explode(grams).alias("gram"))
     eval_gram_set = eval_grams.select("gram").distinct()
-    train_grams = assigned.filter(F.col("split") == train_split).select(
-        F.explode(grams).alias("gram")
+    train_grams = (
+        assigned.filter(F.col("split") == train_split)
+        .select(tokenize_words(F.col(text_col)).alias("_toks"))
+        .select(F.explode(grams).alias("gram"))
     )
     small = F.broadcast if broadcast_eval else (lambda df: df)
     leaked_grams = (

@@ -44,11 +44,21 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 def _shingle_df(
     df: DataFrame, text_col: str, id_col: str, n: int, max_chars: int
 ) -> DataFrame:
-    """(id, shingle) rows: distinct character n-grams of the text prefix."""
-    prefix = F.substring(F.col(text_col), 1, max_chars)
+    """(id, shingle) rows: distinct character n-grams of the text prefix.
+
+    The prefix is projected as its own column BEFORE the explode: inside
+    a Generate the expression tree is evaluated without common-
+    subexpression elimination, so an inlined substring re-runs once per
+    reference (length guard + every per-shingle substr) — the same
+    evaluate-once shape as curation.word_ngrams_from_tokens (r6)."""
+    pre = df.select(
+        F.col(id_col).alias("id"),
+        F.substring(F.col(text_col), 1, max_chars).alias("_prefix"),
+    )
+    prefix = F.col("_prefix")
     idx = F.sequence(F.lit(1), F.greatest(F.length(prefix) - (n - 1), F.lit(1)))
     shingles = F.array_distinct(F.transform(idx, lambda i: prefix.substr(i, F.lit(n))))
-    return df.select(F.col(id_col).alias("id"), F.explode(shingles).alias("shingle"))
+    return pre.select("id", F.explode(shingles).alias("shingle"))
 
 
 def minhash_signatures(
@@ -69,8 +79,14 @@ def minhash_signatures(
     return sh.groupBy("id").agg(*aggs)
 
 
-def minhash_bands(signatures: DataFrame, rows_per_band: int = 2) -> DataFrame:
-    """Signature -> (id, band_idx, band_hash) for LSH bucketing."""
+def minhash_bands(
+    signatures: DataFrame, rows_per_band: int = 2, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """Signature -> (id, band_idx, band_hash) for LSH bucketing.
+
+    ``carry`` keeps additional signature columns on every band row —
+    consumers that need the signature next to its bands (the incremental
+    verify layer) then skip a whole join back on ``id`` (r6)."""
     hcols = sorted(
         [c for c in signatures.columns if c.startswith("h")], key=lambda c: int(c[1:])
     )
@@ -84,8 +100,13 @@ def minhash_bands(signatures: DataFrame, rows_per_band: int = 2) -> DataFrame:
             )
         )
     return signatures.select(
-        "id", F.explode(F.array(*bands)).alias("band")
-    ).select("id", F.col("band.band_idx").alias("band_idx"), F.col("band.band_hash").alias("band_hash"))
+        "id", *carry, F.explode(F.array(*bands)).alias("band")
+    ).select(
+        "id",
+        *carry,
+        F.col("band.band_idx").alias("band_idx"),
+        F.col("band.band_hash").alias("band_hash"),
+    )
 
 
 def minhash_lsh_pairs(
@@ -250,17 +271,47 @@ def lsh_jaccard_verified(
     side's distinct-shingle array (array_intersect — JVM) instead of
     re-joining the inverted index. Output: (id_1, id_2, jaccard).
     """
-    cands = minhash_lsh_pairs(
-        df, text_col, id_col, num_hashes, rows_per_band, shingle_n, max_chars,
-        max_band_population=max_band_population,
-    ).select("id_1", "id_2")
-    sets = (
-        _shingle_df(df, text_col, id_col, shingle_n, max_chars)
-        .groupBy("id")
-        .agg(F.collect_set("shingle").alias("sh"))
+    # r6 (guide §2.3 "don't shingle twice"): ONE pass over the shingle
+    # relation computes BOTH the MinHash signatures and each document's
+    # distinct-shingle set — one groupBy instead of two, and the corpus
+    # is shingled once instead of once per consumer. The per-doc frame is
+    # persisted; bands, the purge audit and both verify join sides are
+    # cheap projections of it. Candidate semantics, band purge and the
+    # Jaccard formula are unchanged.
+    sh = _shingle_df(df, text_col, id_col, shingle_n, max_chars)
+    per_doc = sh.groupBy("id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(str(k)), F.col("shingle")))).alias(f"h{k}")
+            for k in range(num_hashes)
+        ],
+        F.collect_set("shingle").alias("sh"),
+    ).persist()
+    bands = minhash_bands(
+        per_doc.select("id", *[f"h{k}" for k in range(num_hashes)]), rows_per_band
     )
-    s1 = sets.select(F.col("id").alias("id_1"), F.col("sh").alias("sh_1"))
-    s2 = sets.select(F.col("id").alias("id_2"), F.col("sh").alias("sh_2"))
+    if max_band_population is not None:
+        sizes = bands.groupBy("band_idx", "band_hash").agg(
+            F.count("*").alias("band_population")
+        )
+        purged = sizes.filter(F.col("band_population") > max_band_population)
+        bands = bands.join(
+            F.broadcast(purged.select("band_idx", "band_hash")),
+            ["band_idx", "band_hash"],
+            "left_anti",
+        )
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_1"), F.col("b.id").alias("id_2"))
+        .distinct()
+    )
+    s1 = per_doc.select(F.col("id").alias("id_1"), F.col("sh").alias("sh_1"))
+    s2 = per_doc.select(F.col("id").alias("id_2"), F.col("sh").alias("sh_2"))
     inter = F.size(F.array_intersect(F.col("sh_1"), F.col("sh_2")))
     union = F.size("sh_1") + F.size("sh_2") - inter
     return (
@@ -386,30 +437,48 @@ def _simhash_pandas(
 
         positions = np.arange(bits)
         weights = np.int64(1) << np.arange(bits, dtype=np.int64)
-        out = []
-        for t in texts:
+        # r6 batch vectorization (guide §4.2): md5 is computed once per
+        # UNIQUE shingle in the Arrow batch (near-dup corpora repeat the
+        # same shingles across documents — the whole reason this operator
+        # exists), and the per-document bit votes accumulate through one
+        # np.add.at scatter instead of a Python loop per (doc, shingle).
+        # Values are identical to the per-doc loop: same md5, same votes.
+        doc_sets: list = []
+        counts = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
             if t is None or (isinstance(t, float) and t != t):
                 # expression-path twin: md5(NULL) drops out of every
                 # bit-vote filter, so NULL text packs to 0, not NULL
-                out.append(0)
                 continue
             prefix = t[:max_chars]
             if len(prefix) <= shingle_n:
                 # mirrors sequence(1, greatest(len-(n-1), 1)) + substr:
                 # short/exact-length strings yield one shingle, the prefix
-                shingles = {prefix}
+                sh = (prefix,)
             else:
-                shingles = {
-                    prefix[j : j + shingle_n]
-                    for j in range(len(prefix) - shingle_n + 1)
-                }
-            n = len(shingles)
-            votes = np.zeros(bits, dtype=np.int64)
-            for s in shingles:
-                h = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
-                votes += (h >> positions) & 1
-            out.append(int(((votes * 2 > n) * weights).sum()))
-        return pd.Series(out, dtype="Int64")
+                sh = tuple(
+                    {prefix[j : j + shingle_n] for j in range(len(prefix) - shingle_n + 1)}
+                )
+            counts[i] = len(sh)
+            doc_sets.append((i, sh))
+        if not doc_sets:
+            return pd.Series(np.zeros(len(texts), dtype=np.int64), dtype="Int64")
+        flat = [s for _, sh in doc_sets for s in sh]
+        seg = np.repeat(
+            np.fromiter((i for i, _ in doc_sets), dtype=np.int64, count=len(doc_sets)),
+            np.fromiter((len(sh) for _, sh in doc_sets), dtype=np.int64, count=len(doc_sets)),
+        )
+        uniq, inv = np.unique(np.asarray(flat, dtype=object), return_inverse=True)
+        h = np.fromiter(
+            (int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16) for s in uniq),
+            dtype=np.int64,
+            count=len(uniq),
+        )
+        bits_of = (h[:, None] >> positions) & 1  # (n_uniq, bits)
+        votes = np.zeros((len(texts), bits), dtype=np.int64)
+        np.add.at(votes, seg, bits_of[inv])
+        fp = ((votes * 2 > counts[:, None]) * weights).sum(axis=1)
+        return pd.Series(fp, dtype="Int64")
 
     return simhash_pd(text)
 
@@ -770,11 +839,13 @@ def dedup_incremental_verify(
     hist = history_sigs.withColumn(
         "_sig_id", F.md5(F.concat(*[F.col(f"h{k}") for k in range(num_hashes)]))
     )
+    # r6: the signature columns ride the band explode directly (carry=)
+    # instead of being joined back on the sig id — one shuffle join less
+    # on each side of the candidate join
     hist_bands = minhash_bands(
-        hist.withColumnRenamed("_sig_id", "id"), rows_per_band
-    ).join(
-        hist.select(F.col("_sig_id").alias("id"), *[f"h{k}" for k in range(num_hashes)]),
-        "id",
+        hist.withColumnRenamed("_sig_id", "id"),
+        rows_per_band,
+        carry=tuple(f"h{k}" for k in range(num_hashes)),
     )
     if max_band_population is not None:
         sizes = hist_bands.groupBy("band_idx", "band_hash").agg(
@@ -787,12 +858,12 @@ def dedup_incremental_verify(
             "left_anti",
         )
 
-    # persist: the band explode and the signature join-back both consume
-    # this frame — without it the md5 min-hash family runs twice per doc
     batch_sigs = minhash_signatures(
         new_docs, text_col, id_col, num_hashes, shingle_n, max_chars
-    ).persist()
-    batch_bands = minhash_bands(batch_sigs, rows_per_band).join(batch_sigs, "id")
+    )
+    batch_bands = minhash_bands(
+        batch_sigs, rows_per_band, carry=tuple(f"h{k}" for k in range(num_hashes))
+    )
 
     agree = sum(
         F.when(F.col(f"h{k}") == F.col(f"_hh{k}"), 1).otherwise(0)

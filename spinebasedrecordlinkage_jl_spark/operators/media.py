@@ -127,6 +127,39 @@ def synthesize_media_payloads(
     )
 
 
+def _decode_row(doc_id: int, ctype: str, b: bytes) -> dict:
+    """One payload -> one MEDIA_SCHEMA row (shared by decode_media and
+    the fused synthesize_and_decode path)."""
+    row = {
+        "doc_id": doc_id,
+        "kind": "opaque",
+        "n_bytes": len(b),
+        "width": None, "height": None, "ahash": None, "dhash": None,
+        "sample_rate": None, "n_samples": None, "n_channels": None,
+        "duration_sec": None, "rms": None, "peak": None,
+    }
+    if ctype == PPM_TYPE or ctype == "image/x-portable-graymap":
+        px = decode_pnm(b)
+        row.update(
+            kind="image",
+            width=int(px.shape[1]), height=int(px.shape[0]),
+            ahash=ahash64(px), dhash=dhash64(px),
+        )
+    elif ctype == WAV_TYPE:
+        rate, samples = decode_wav_pcm16(b)
+        x = samples.astype(np.float64)
+        row.update(
+            kind="audio",
+            sample_rate=int(rate),
+            n_samples=int(samples.shape[0]),
+            n_channels=int(samples.shape[1]),
+            duration_sec=samples.shape[0] / rate,
+            rms=float(np.sqrt(np.mean(x * x))),
+            peak=int(np.abs(samples).max()) if samples.size else 0,
+        )
+    return row
+
+
 def decode_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """REAL decode for wav/pnm payloads (typed stats + perceptual
     hashes); rows with other content types come back kind='opaque' with
@@ -137,37 +170,12 @@ def decode_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for doc_id, ctype, payload in zip(pdf[id_col], pdf["content_type"], pdf["payload"]):
-                b = bytes(payload)
-                row = {
-                    "doc_id": int(doc_id),
-                    "kind": "opaque",
-                    "n_bytes": len(b),
-                    "width": None, "height": None, "ahash": None, "dhash": None,
-                    "sample_rate": None, "n_samples": None, "n_channels": None,
-                    "duration_sec": None, "rms": None, "peak": None,
-                }
-                if ctype == PPM_TYPE or ctype == "image/x-portable-graymap":
-                    px = decode_pnm(b)
-                    row.update(
-                        kind="image",
-                        width=int(px.shape[1]), height=int(px.shape[0]),
-                        ahash=ahash64(px), dhash=dhash64(px),
-                    )
-                elif ctype == WAV_TYPE:
-                    rate, samples = decode_wav_pcm16(b)
-                    x = samples.astype(np.float64)
-                    row.update(
-                        kind="audio",
-                        sample_rate=int(rate),
-                        n_samples=int(samples.shape[0]),
-                        n_channels=int(samples.shape[1]),
-                        duration_sec=samples.shape[0] / rate,
-                        rms=float(np.sqrt(np.mean(x * x))),
-                        peak=int(np.abs(samples).max()) if samples.size else 0,
-                    )
-                rows.append(row)
+            rows = [
+                _decode_row(int(doc_id), ctype, bytes(payload))
+                for doc_id, ctype, payload in zip(
+                    pdf[id_col], pdf["content_type"], pdf["payload"]
+                )
+            ]
             yield pd.DataFrame(rows)
 
     from ..session import widen_if_narrow
@@ -176,6 +184,42 @@ def decode_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     # frame before it (no-op at scale, where the scan has many splits)
     return widen_if_narrow(df.select(id_col, "content_type", "payload")).mapInPandas(
         _decode, schema=MEDIA_SCHEMA
+    )
+
+
+def synthesize_and_decode(
+    docs: DataFrame,
+    kind: str = "image",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    noise_amplitude: int = 2,
+) -> DataFrame:
+    """Fused ``synthesize_media_payloads`` -> ``decode_media`` for the
+    synthetic-corpus paths: one Arrow stage instead of two, so the
+    payload bytes never cross the JVM<->Python boundary between
+    synthesis and decode (guide §4 — the payload is the widest column
+    by far). Row-for-row identical to the two-stage composition: the
+    same encode -> decode round trip runs per payload, only the
+    intermediate Arrow transfer is gone."""
+    if kind not in ("image", "audio", "both"):
+        raise ValueError(f"kind must be image|audio|both, got {kind!r}")
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if kind in ("image", "both"):
+                    b = _synth_image(text, int(doc_id), noise_amplitude)
+                    rows.append(_decode_row(int(doc_id), PPM_TYPE, b))
+                if kind in ("audio", "both"):
+                    b = _synth_wav(text)
+                    rows.append(_decode_row(int(doc_id), WAV_TYPE, b))
+            yield pd.DataFrame(rows)
+
+    from ..session import widen_if_narrow
+
+    return widen_if_narrow(docs.select(id_col, text_col)).mapInPandas(
+        _gen, schema=MEDIA_SCHEMA
     )
 
 

@@ -146,7 +146,12 @@ def image_resize(
                     try:
                         small = resize_area(decode_pnm(payload), out_h, out_w)
                         resized = encode_pnm(small)
-                    except ValueError:
+                    except Exception:
+                        # 'a corrupt blob must not kill the stage': any
+                        # malformed payload — not just the ValueErrors the
+                        # parser raises itself (e.g. a zero-dimension
+                        # header reaches the upscale path as a
+                        # ZeroDivisionError, ADVICE r5) — degrades to NULL
                         resized = None
                 out_payload.append(resized)
                 heights.append(out_h if resized is not None else None)

@@ -26,6 +26,8 @@ shipped as literals (they are tiny: n_tables * n_bits * dim floats).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -283,11 +285,26 @@ def _cell_assigner(centroids: DataFrame, assign_strategy: str, caller: str):
             return _ivf_cells_pandas_udf(cmat, cids, n)(vec)
 
     else:
+        # r6 (guide §2 "don't compute things twice"): precompute each
+        # centroid's L2 norm ONCE as a literal — in Python, with the
+        # exact same left-fold order as F.aggregate(acc + x*x) over
+        # doubles, so the value is bit-identical to the expression the
+        # old plan evaluated per (row, centroid). The row's own norm is
+        # likewise hoisted out of the per-centroid transform. Per row
+        # this removes C centroid-norm + (C-1) row-norm reductions;
+        # only the dot products remain per centroid.
+        def _norm(vec: list) -> float:
+            acc = 0.0
+            for x in vec:
+                acc = acc + float(x) * float(x)
+            return math.sqrt(acc)
+
         cent_arr = F.array(
             *[
                 F.struct(
                     F.lit(int(cid)).alias("cell_id"),
                     F.array(*[F.lit(float(x)) for x in vec]).alias("cvec"),
+                    F.lit(_norm(vec)).alias("cnorm"),
                 )
                 for cid, vec in cents
             ]
@@ -296,10 +313,22 @@ def _cell_assigner(centroids: DataFrame, assign_strategy: str, caller: str):
         def probe_cells(vec: Column, n: int) -> Column:
             # per-row, zero-shuffle: score every centroid, sort by
             # (-sim, cell_id), keep the first n cell ids
+            vd = F.transform(vec, lambda x: x.cast("double"))
+            vnorm = F.sqrt(F.aggregate(vd, F.lit(0.0), lambda a, x: a + x * x))
             scored = F.transform(
                 cent_arr,
                 lambda c: F.struct(
-                    (-F.round(cosine_similarity(vec, c["cvec"]), 6)).alias("negsim"),
+                    (
+                        -F.round(
+                            F.aggregate(
+                                F.zip_with(vd, c["cvec"], lambda x, y: x * y),
+                                F.lit(0.0),
+                                lambda a, x: a + x,
+                            )
+                            / (vnorm * c["cnorm"]),
+                            6,
+                        )
+                    ).alias("negsim"),
                     c["cell_id"].alias("cell_id"),
                 ),
             )
@@ -346,22 +375,37 @@ def ivf_topk(
     cents, probe_cells = _cell_assigner(centroids, assign_strategy, caller="ivf_topk")
     nprobe = min(nprobe, len(cents))
 
+    # r6: carry each row's pre-cast double vector AND its L2 norm through
+    # the candidate join, so the per-pair work is one dot product instead
+    # of a dot plus two norm reductions (same fold order as
+    # cosine_similarity — dot/(query_norm * neighbor_norm) — so the
+    # rounded sim is bit-identical).
     def with_cells(df: DataFrame, idname: str, n: int) -> DataFrame:
+        vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
         return df.select(
             F.col(id_col).alias(idname),
-            F.col(vec_col).alias(f"_{idname}_vec"),
+            vd.alias(f"_{idname}_vec"),
+            F.sqrt(F.aggregate(vd, F.lit(0.0), lambda a, x: a + x * x)).alias(
+                f"_{idname}_n"
+            ),
             F.explode(probe_cells(F.col(vec_col), n)).alias("cell_id"),
         )
 
     c = with_cells(corpus, "neighbor_id", 1)  # IVF: one cell per corpus vector
     q = F.broadcast(with_cells(queries, "query_id", nprobe))
     cand = c.join(q, "cell_id").select(
-        "query_id", "neighbor_id", "_query_id_vec", "_neighbor_id_vec"
+        "query_id", "neighbor_id", "_query_id_vec", "_neighbor_id_vec",
+        "_query_id_n", "_neighbor_id_n",
     )
     if exclude_self:
         cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
+    dot = F.aggregate(
+        F.zip_with(F.col("_query_id_vec"), F.col("_neighbor_id_vec"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
     scored = cand.withColumn(
-        "sim", F.round(cosine_similarity(F.col("_query_id_vec"), F.col("_neighbor_id_vec")), 6)
+        "sim", F.round(dot / (F.col("_query_id_n") * F.col("_neighbor_id_n")), 6)
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return (
@@ -461,10 +505,16 @@ def semantic_dedup(
     df = widen_if_narrow(df)
 
     # persist: the purge count and BOTH self-join sides consume this
-    # frame, and re-deriving it re-runs the centroid-probe UDF per use
+    # frame, and re-deriving it re-runs the centroid-probe UDF per use.
+    # r6: persist the pre-cast double vector and its L2 norm alongside —
+    # the within-cell pair scoring then pays one dot product per pair
+    # instead of a dot plus two per-pair norm reductions (identical fold
+    # order to cosine_similarity, so the rounded sim is bit-identical).
+    _vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     assigned = df.select(
         F.col(id_col).cast("long").alias("_id"),
-        F.col(vec_col).alias("_vec"),
+        _vd.alias("_vec"),
+        F.sqrt(F.aggregate(_vd, F.lit(0.0), lambda a, x: a + x * x)).alias("_n"),
         probe_cells(F.col(vec_col), 1)[0].alias("cell_id"),
     ).persist()
     purged = None
@@ -481,15 +531,22 @@ def semantic_dedup(
         F.col("cell_id").alias("_cell_1"),
         F.col("_id").alias("id_1"),
         F.col("_vec").alias("_v1"),
+        F.col("_n").alias("_n1"),
     )
     b = paired_side.select(
         F.col("cell_id").alias("_cell_2"),
         F.col("_id").alias("id_2"),
         F.col("_vec").alias("_v2"),
+        F.col("_n").alias("_n2"),
+    )
+    _dot = F.aggregate(
+        F.zip_with(F.col("_v1"), F.col("_v2"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a_, x: a_ + x,
     )
     edges = (
         a.join(b, (F.col("_cell_1") == F.col("_cell_2")) & (F.col("id_1") < F.col("id_2")))
-        .filter(F.round(cosine_similarity(F.col("_v1"), F.col("_v2")), 6) >= threshold)
+        .filter(F.round(_dot / (F.col("_n1") * F.col("_n2")), 6) >= threshold)
         .select(F.col("id_1").alias("src"), F.col("id_2").alias("dst"))
     )
     comp = connected_components(edges).withColumnRenamed("id", "_cid")

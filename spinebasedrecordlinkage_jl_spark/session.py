@@ -50,6 +50,20 @@ def get_spark(
         # The spine is small relative to events — make sure Catalyst
         # broadcasts it (we also force F.broadcast at call sites).
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Joins (guide §3.1/§9): let the planner pick shuffled-hash over
+        # sort-merge when the per-partition build side fits — skips two
+        # sorts per join; AQE additionally rewrites SMJ->SHJ at runtime
+        # when every post-shuffle partition is under the local-map
+        # threshold (0 = off by default; both knobs are cluster-sane and
+        # env-overridable, not local[32] tuning).
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPINELINK_PREFER_SMJ", "false"),
+        )
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPINELINK_SHJ_LOCALMAP_THRESHOLD", str(64 * 1024 * 1024)),
+        )
         # Arrow for pandas UDFs (vectorized scoring path).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", _ARROW_BATCH)

@@ -258,3 +258,34 @@ def test_image_resize_operator(spark, sf_dir):
     # corrupt image -> NULL (no stage failure); audio rows pass through NULL
     null_ids = {r["doc_id"] for r in rows if r["payload"] is None}
     assert 9_999_999 in null_ids and len(null_ids - {9_999_999}) == 6
+
+
+def test_image_resize_zero_dim_payload_yields_null(spark):
+    """ADVICE r5: a zero-dimension netpbm header decodes to shape (0, 0)
+    and used to escape the ValueError guard as a ZeroDivisionError in the
+    upscale path, killing the whole Arrow stage — it must degrade to a
+    NULL row like any other corrupt blob."""
+    from spinebasedrecordlinkage_jl_spark.operators.multimodal import image_resize
+
+    bad = spark.createDataFrame(
+        [(1, "image/x-portable-graymap", bytearray(b"P5\n0 0\n255\n"))],
+        "doc_id long, content_type string, payload binary",
+    )
+    rows = image_resize(bad, 8, 8).collect()
+    assert len(rows) == 1
+    assert rows[0]["payload"] is None and rows[0]["height"] is None
+
+
+def test_synthesize_and_decode_matches_two_stage(spark, sf_dir):
+    """r6 fused synth->decode stage is row-for-row identical to the
+    two-stage composition it replaces (same encode->decode round trip,
+    only the intermediate Arrow payload transfer removed)."""
+    from spinebasedrecordlinkage_jl_spark.operators.media import synthesize_and_decode
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(8)
+    fused = synthesize_and_decode(docs, kind="both")
+    two_stage = decode_media(synthesize_media_payloads(docs, kind="both"))
+    assert fused.schema == two_stage.schema
+    a = sorted(map(tuple, fused.collect()))
+    b = sorted(map(tuple, two_stage.collect()))
+    assert a == b
