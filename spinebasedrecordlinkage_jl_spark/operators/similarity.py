@@ -487,8 +487,6 @@ def semantic_dedup(
     """
     from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
 
-    from .spine import connected_components
-
     if not isinstance(
         df.schema[id_col].dataType, (ByteType, ShortType, IntegerType, LongType)
     ):
@@ -547,9 +545,20 @@ def semantic_dedup(
     edges = (
         a.join(b, (F.col("_cell_1") == F.col("_cell_2")) & (F.col("id_1") < F.col("id_2")))
         .filter(F.round(_dot / (F.col("_n1") * F.col("_n2")), 6) >= threshold)
-        .select(F.col("id_1").alias("src"), F.col("id_2").alias("dst"))
+        .select(
+            F.col("_cell_1").alias("cell_id"),
+            F.col("id_1").alias("src"),
+            F.col("id_2").alias("dst"),
+        )
     )
-    comp = connected_components(edges).withColumnRenamed("id", "_cid")
+    # r6: every edge lies within one quantizer cell and every vector has
+    # exactly one cell, so components never span cells — per-cell
+    # union-find in one Arrow stage (spine.blocked_components) replaces
+    # the iterative global CC rounds; cell population is already bounded
+    # by the max_cell_population purge above. Identical components.
+    from .spine import blocked_components
+
+    comp = blocked_components(edges, "cell_id").withColumnRenamed("id", "_cid")
     clusters = (
         assigned.select("_id")
         .join(comp, F.col("_id") == F.col("_cid"), "left")

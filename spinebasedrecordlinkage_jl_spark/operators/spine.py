@@ -261,6 +261,68 @@ def connected_components(
     return members.union(roots).distinct()
 
 
+def blocked_components(edges: DataFrame, block_col: str) -> DataFrame:
+    """Connected components of a graph whose EVERY edge lies within one
+    block (src and dst always share ``block_col``, and every node
+    belongs to exactly one block — the caller's structural guarantee):
+    components can never span blocks, so instead of iterative global
+    large-star/small-star rounds, group the edges by block and run
+    union-find per block in ONE Arrow stage (r6, guide §8 "use what you
+    know that the optimizer does not").
+
+    Output contract matches :func:`connected_components`: one row per
+    node that appears in a (non-self-loop) edge, ``component`` = the
+    minimum node id of its component. Self-loop edges are dropped, like
+    CC's bootstrap filter.
+
+    Scale contract: per-group state is the block's node set, which the
+    callers bound by construction (``max_cell_population`` purge for
+    quantizer cells, hash-composed block keys for text blocks), and the
+    single shuffle is keyed by the block — the same key the pair join
+    upstream already used, so AQE's skew handling applies unchanged.
+    Graphs whose edges can cross blocks (banded LSH, multi-criteria
+    entity formation) must keep :func:`connected_components`.
+    """
+    import pandas as _pd
+
+    def _union_find(pdf: "_pd.DataFrame") -> "_pd.DataFrame":
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for s, d in zip(pdf["src"], pdf["dst"]):
+            s = int(s)
+            d = int(d)
+            if s == d:
+                continue
+            if s not in parent:
+                parent[s] = s
+            if d not in parent:
+                parent[d] = d
+            rs, rd = find(s), find(d)
+            if rs != rd:
+                # union-by-min: the surviving root is the smaller id, so
+                # find() yields the component minimum directly
+                if rs < rd:
+                    parent[rd] = rs
+                else:
+                    parent[rs] = rd
+        return _pd.DataFrame(
+            {"id": list(parent), "component": [find(x) for x in parent]}
+        )
+
+    e = edges.select(
+        F.col(block_col).alias("_blk"),
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    )
+    return e.groupBy("_blk").applyInPandas(_union_find, "id long, component long")
+
+
 # ---------------------------------------------------------------------------
 # Match-pair graph among unlinked records
 # ---------------------------------------------------------------------------

@@ -108,3 +108,34 @@ def test_remapped_ids_reverified_against_population(spark):
     # two distinct nodes sharing h1=1 (the collision), plus a bystander
     pop = spark.createDataFrame([(1, 10), (1, 20), (2, 30)], "h1 long, h2 long")
     _assert_ids_unique(pop, frozenset([1]))  # xxhash64(1,10) != xxhash64(1,20)
+
+
+def test_blocked_components_matches_global_cc(spark):
+    """r6 blocked_components (per-block union-find, one Arrow stage) must
+    produce exactly connected_components' output on any graph whose
+    edges stay within a block and whose nodes map to one block each."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from spinebasedrecordlinkage_jl_spark.operators.spine import (
+        blocked_components,
+        connected_components,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for blk in range(12):
+        base = blk * 1000
+        # chains, stars, singleton-self-loops and random clutter per block
+        nodes = [base + i for i in range(rng.randint(2, 40))]
+        for i in range(len(nodes) - 1):
+            if rng.random() < 0.6:
+                rows.append((f"b{blk}", nodes[i], nodes[i + 1]))
+        for _ in range(10):
+            a, b = rng.choice(nodes), rng.choice(nodes)
+            rows.append((f"b{blk}", a, b))  # includes self-loops
+    edges = spark.createDataFrame(rows, "blk string, src long, dst long")
+    got = sorted(map(tuple, blocked_components(edges, "blk").collect()))
+    want = sorted(map(tuple, connected_components(edges.select("src", "dst")).collect()))
+    assert got == want
