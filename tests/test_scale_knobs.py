@@ -56,14 +56,14 @@ def _spy_spine(monkeypatch):
     real_cc = spine_mod.connected_components
     real_mp = spine_mod.match_pairs
 
-    def spy_cc(edges, max_iter=30, convergence="checksum"):
+    def spy_cc(edges, max_iter=30, convergence="auto", **kw):
         seen["max_iter"] = max_iter
         seen["convergence"] = convergence
-        return real_cc(edges, max_iter=max_iter, convergence=convergence)
+        return real_cc(edges, max_iter=max_iter, convergence=convergence, **kw)
 
-    def spy_mp(records, crit, max_block_signatures=10_000):
+    def spy_mp(records, crit, max_block_signatures=10_000, **kw):
         seen["max_block_signatures"] = max_block_signatures
-        return real_mp(records, crit, max_block_signatures=max_block_signatures)
+        return real_mp(records, crit, max_block_signatures=max_block_signatures, **kw)
 
     monkeypatch.setattr(spine_mod, "connected_components", spy_cc)
     monkeypatch.setattr(spine_mod, "match_pairs", spy_mp)
