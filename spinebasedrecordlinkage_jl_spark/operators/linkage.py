@@ -50,18 +50,18 @@ def _spine_alias(spine: DataFrame, broadcast: bool | None) -> DataFrame:
     return F.broadcast(spine) if broadcast else spine
 
 
-def criteria_pass(
+def _criteria_candidates(
     events: DataFrame,
     spine: DataFrame,
     crit: LinkageCriteria,
-    broadcast_spine: bool | None = True,
+    broadcast_spine: bool | None,
 ) -> DataFrame:
-    """One criteria-set -> candidate links ``(EventId, EntityId, CriteriaId)``.
-
-    ``events`` needs ``EventId`` + the criteria's data columns; ``spine``
-    needs ``EntityId``, ``spine_seq`` (deterministic creation-order
-    surrogate used for tie-breaking) + the criteria's spine columns.
-    """
+    """The candidate relation of one criteria-set, threshold-filtered:
+    one row per surviving (event, spine) candidate with the selection
+    keys ``(EventId, EntityId, _total, _seq)``. ``_total`` is 0.0 and
+    ``_seq`` a constant for exact-only criteria (the ambiguity-rejection
+    COUNT, not an ordering, decides those — and a spine without
+    ``spine_seq`` keeps working for exact-only passes, as before r6)."""
     ev = events.alias("ev")
     sp = _spine_alias(spine, broadcast_spine).alias("sp")
 
@@ -102,19 +102,56 @@ def criteria_pass(
         for i, am in enumerate(crit.approxmatch):
             cand = cand.filter(F.col(f"_d{i}") <= F.lit(am.threshold))
         cand = cand.filter(F.col("_total") < 1.0)
-        # best candidate: min total distance, ties -> earliest spine row
-        w = Window.partitionBy(F.col("ev.EventId")).orderBy(
-            F.col("_total").asc(), F.col("sp.spine_seq").asc(), F.col("sp.EntityId").asc()
-        )
-        best = cand.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+        seq = F.col("sp.spine_seq")
     else:
-        # exact-only: link iff exactly one candidate (ambiguity rejection)
-        w = Window.partitionBy(F.col("ev.EventId"))
-        best = cand.withColumn("_n", F.count(F.lit(1)).over(w)).filter(F.col("_n") == 1)
+        cand = cand.withColumn("_total", F.lit(0.0))
+        seq = F.lit(0).cast("long")
 
-    return best.select(
+    return cand.select(
         F.col("ev.EventId").alias("EventId"),
         F.col("sp.EntityId").alias("EntityId"),
+        F.col("_total").alias("_total"),
+        seq.alias("_seq"),
+    )
+
+
+def criteria_pass(
+    events: DataFrame,
+    spine: DataFrame,
+    crit: LinkageCriteria,
+    broadcast_spine: bool | None = True,
+) -> DataFrame:
+    """One criteria-set -> candidate links ``(EventId, EntityId, CriteriaId)``.
+
+    ``events`` needs ``EventId`` + the criteria's data columns; ``spine``
+    needs ``EntityId``, ``spine_seq`` (deterministic creation-order
+    surrogate used for tie-breaking) + the criteria's spine columns.
+
+    Selection is ONE map-side-combinable hash aggregation per event (r6,
+    guide §2.3 "aggregate before you shuffle") instead of the previous
+    Exchange+Sort+Window:
+
+    - fuzzy: best candidate = ``min(struct(_total, spine_seq, EntityId))``
+      — struct comparison is lexicographic and field-wise identical to
+      the old window's ``ORDER BY _total ASC, spine_seq ASC, EntityId
+      ASC`` ``row_number()=1`` pick (all three fields are non-null here;
+      NaN ordering is the same in both paths), so the selected row is
+      identical while the shuffle carries one partially-aggregated row
+      per (event, candidate-batch) instead of every candidate;
+    - exact-only: ambiguity rejection = ``count(*)==1`` per event (the
+      old COUNT window), with ``min(EntityId)`` trivially the unique
+      candidate's id.
+    """
+    cand = _criteria_candidates(events, spine, crit, broadcast_spine)
+    agg = cand.groupBy("EventId").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.min(F.struct("_total", "_seq", "EntityId")).alias("_b"),
+    )
+    if not crit.approxmatch:
+        agg = agg.filter(F.col("_n") == 1)
+    return agg.select(
+        "EventId",
+        F.col("_b.EntityId").alias("EntityId"),
         F.lit(crit.id).alias("CriteriaId"),
     )
 
@@ -130,26 +167,50 @@ def link_table(
 
     Returns the links frame ``(TableName, EventId, EntityId, CriteriaId)``
     (/root/reference/src/runlinkage.jl:61 shape). Built as a single lazy
-    plan: union of per-criteria candidate links + one window keeping the
-    lowest CriteriaId per event.
+    plan: the per-criteria candidate relations (all map-side — the spine
+    side is broadcast) are unioned and selected by TWO hash aggregations
+    (r6, guide §2.3/§2.4): per (EventId, CriteriaId) the criterion's own
+    pick (fuzzy argmin / exact-only ambiguity count), then per EventId
+    the lowest surviving CriteriaId. Replaces one Exchange+Sort+Window
+    per fuzzy criterion plus the final first-criteria-wins window (3
+    exchanges, 3 sorts for the 2-criteria config) with 2 exchanges and
+    no sorts, both with partial map-side aggregation; the second
+    exchange carries exactly one row per (event, criterion).
     """
-    per_crit = [criteria_pass(events, spine, c, broadcast_spine) for c in criteria]
-    if not per_crit:
+    if not criteria:
         raise ValueError(f"no criteria for table {tablename}")
-    allc = per_crit[0]
-    for p in per_crit[1:]:
-        allc = allc.unionByName(p)
-
-    w = Window.partitionBy("EventId").orderBy(F.col("CriteriaId").asc())
-    return (
-        allc.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(
-            F.lit(tablename).alias("TableName"),
+    allc = None
+    for c in criteria:
+        cand = _criteria_candidates(events, spine, c, broadcast_spine).select(
             "EventId",
+            F.lit(c.id).alias("CriteriaId"),
             "EntityId",
-            "CriteriaId",
+            "_total",
+            "_seq",
+            F.lit(bool(c.approxmatch)).alias("_fuzzy"),
         )
+        allc = cand if allc is None else allc.unionByName(cand)
+
+    per_crit = (
+        allc.groupBy("EventId", "CriteriaId")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.min(F.struct("_total", "_seq", "EntityId")).alias("_b"),
+            F.first("_fuzzy").alias("_fuzzy"),
+        )
+        # fuzzy: argmin always links; exact-only: only an unambiguous
+        # (single-candidate) event links — identical to the old per-
+        # criterion window filters
+        .filter(F.col("_fuzzy") | (F.col("_n") == 1))
+    )
+    sel = per_crit.groupBy("EventId").agg(
+        F.min(F.struct("CriteriaId", F.col("_b.EntityId").alias("EntityId"))).alias("_s")
+    )
+    return sel.select(
+        F.lit(tablename).alias("TableName"),
+        "EventId",
+        F.col("_s.EntityId").alias("EntityId"),
+        F.col("_s.CriteriaId").alias("CriteriaId"),
     )
 
 
