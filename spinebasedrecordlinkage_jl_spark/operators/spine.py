@@ -152,6 +152,16 @@ def _small_star(edges: DataFrame) -> DataFrame:
 #: SPINELINK_CC_AUTO_STAR_EDGES). Rationale in connected_components.
 _CC_AUTO_STAR_EDGES = int(_os.environ.get("SPINELINK_CC_AUTO_STAR_EDGES", "2000000"))
 
+#: "auto" runs the whole graph through ONE single-task union-find stage
+#: below this many measured edges (env SPINELINK_CC_SINGLE_TASK_EDGES).
+#: Micro-bench (this box): 100k edges = 0.14s, 1M = 2.2s in one Python
+#: task, vs >= 0.5s of fixed stage latency PER iterative round (typical
+#: graphs need 1-4 rounds) — the crossover sits around a few hundred
+#: thousand edges, on a cluster as here (round latency is dominated by
+#: scheduling, not shuffle bytes, at these sizes). Above the cap the
+#: iterative contraction keeps its distributed guarantees.
+_CC_SINGLE_TASK_EDGES = int(_os.environ.get("SPINELINK_CC_SINGLE_TASK_EDGES", "200000"))
+
 
 def connected_components(
     edges: DataFrame, max_iter: int = 30, convergence: str = "auto"
@@ -200,6 +210,26 @@ def connected_components(
     e = e.localCheckpoint(eager=True)
     if convergence == "auto":
         n_edges = e.count()  # cached RDD — one cheap scan, no shuffle
+        if (
+            n_edges <= _CC_SINGLE_TASK_EDGES
+            and not isinstance(e.schema["src"].dataType, StructType)
+        ):
+            # r6 tiny-graph tier (guide §2 "scale-adaptive decisions"):
+            # the MEASURED edge relation is small enough that one Python
+            # union-find task beats any number of iterative rounds of
+            # fixed stage latency. Same output contract (one row per
+            # node of a non-self-loop edge, component = min node id —
+            # union-by-min makes every root the component minimum);
+            # equivalence is pinned by test_single_task_matches_iterative.
+            if debug:
+                print(
+                    f"[cc] bootstrap (edge materialization): {time.time() - t0:.2f}s"
+                    f" mode=single-task n_edges={n_edges}",
+                    flush=True,
+                )
+            return e.groupBy(F.lit(0).alias("_g")).applyInPandas(
+                _union_find_pdf, "id long, component long"
+            )
         convergence = "star" if n_edges <= _CC_AUTO_STAR_EDGES else "checksum"
     if debug:
         print(
@@ -261,6 +291,41 @@ def connected_components(
     return members.union(roots).distinct()
 
 
+def _union_find_pdf(pdf):
+    """Union-find (union-by-min, path-halving) over one pandas edge
+    group -> one (id, component) row per node, component = the minimum
+    node id (union-by-min keeps the smaller root, so every tree's final
+    root IS its component minimum). Shared by :func:`blocked_components`
+    (one group per block) and :func:`connected_components`' measured
+    tiny-graph tier (a single group)."""
+    import pandas as _pd
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in zip(pdf["src"], pdf["dst"]):
+        s = int(s)
+        d = int(d)
+        if s == d:
+            continue
+        if s not in parent:
+            parent[s] = s
+        if d not in parent:
+            parent[d] = d
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            if rs < rd:
+                parent[rd] = rs
+            else:
+                parent[rs] = rd
+    return _pd.DataFrame({"id": list(parent), "component": [find(x) for x in parent]})
+
+
 def blocked_components(edges: DataFrame, block_col: str) -> DataFrame:
     """Connected components of a graph whose EVERY edge lies within one
     block (src and dst always share ``block_col``, and every node
@@ -283,44 +348,12 @@ def blocked_components(edges: DataFrame, block_col: str) -> DataFrame:
     Graphs whose edges can cross blocks (banded LSH, multi-criteria
     entity formation) must keep :func:`connected_components`.
     """
-    import pandas as _pd
-
-    def _union_find(pdf: "_pd.DataFrame") -> "_pd.DataFrame":
-        parent: dict[int, int] = {}
-
-        def find(x: int) -> int:
-            while parent[x] != x:
-                parent[x] = parent[parent[x]]
-                x = parent[x]
-            return x
-
-        for s, d in zip(pdf["src"], pdf["dst"]):
-            s = int(s)
-            d = int(d)
-            if s == d:
-                continue
-            if s not in parent:
-                parent[s] = s
-            if d not in parent:
-                parent[d] = d
-            rs, rd = find(s), find(d)
-            if rs != rd:
-                # union-by-min: the surviving root is the smaller id, so
-                # find() yields the component minimum directly
-                if rs < rd:
-                    parent[rd] = rs
-                else:
-                    parent[rs] = rd
-        return _pd.DataFrame(
-            {"id": list(parent), "component": [find(x) for x in parent]}
-        )
-
     e = edges.select(
         F.col(block_col).alias("_blk"),
         F.col("src").cast("long").alias("src"),
         F.col("dst").cast("long").alias("dst"),
     )
-    return e.groupBy("_blk").applyInPandas(_union_find, "id long, component long")
+    return e.groupBy("_blk").applyInPandas(_union_find_pdf, "id long, component long")
 
 
 # ---------------------------------------------------------------------------

@@ -139,3 +139,32 @@ def test_blocked_components_matches_global_cc(spark):
     got = sorted(map(tuple, blocked_components(edges, "blk").collect()))
     want = sorted(map(tuple, connected_components(edges.select("src", "dst")).collect()))
     assert got == want
+
+
+def test_single_task_tier_matches_iterative(spark):
+    """r6: 'auto' routes measured-small graphs (<= SPINELINK_CC_SINGLE_
+    TASK_EDGES) through ONE single-task union-find stage; its output must
+    equal the iterative star AND checksum contractions on a graph mixing
+    deep chains, stars, duplicate/reversed edges, self-loops and random
+    clutter."""
+    import random
+
+    rng = random.Random(11)
+    edges = [(i, i + 1) for i in range(1, 40)]          # deep chain
+    edges += [(500, 500 + i) for i in range(1, 15)]     # star
+    edges += [(2, 1), (1, 2), (41, 41)]                 # reversed + self-loop
+    edges += [
+        (1000 + rng.randint(0, 60), 1000 + rng.randint(0, 60)) for _ in range(120)
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    auto = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    star = {
+        r["id"]: r["component"]
+        for r in connected_components(df, convergence="star").collect()
+    }
+    checksum = {
+        r["id"]: r["component"]
+        for r in connected_components(df, convergence="checksum").collect()
+    }
+    assert auto == star == checksum
+    assert auto[39] == 1 and auto[514] == 500 and 41 not in auto
