@@ -289,11 +289,16 @@ def hamming_band_pairs(
             F.col("b.id").alias("id_2"),
             F.col("a.sh").bitwiseXOR(F.col("b.sh")).alias("x"),
         )
-        .distinct()
         .select("id_1", "id_2", F.bit_count("x").alias("hamming"))
     )
+    # r6 (guide §2.3, same reorder as dedup.simhash_dedup): Hamming-verify
+    # BEFORE the dedup shuffle — bit_count is map-side and the filter
+    # commutes with distinct (hamming is a function of the pair), so the
+    # distinct exchange carries only verified pairs when a threshold is
+    # given, instead of every banded candidate row. Identical output set.
     if max_hamming is not None:
         pairs = pairs.filter(F.col("hamming") <= max_hamming)
+    pairs = pairs.distinct()
     if return_purged:
         return pairs, purged
     return pairs

@@ -332,6 +332,14 @@ def _cell_assigner(centroids: DataFrame, assign_strategy: str, caller: str):
                     c["cell_id"].alias("cell_id"),
                 ),
             )
+            if n == 1:
+                # r6: top-1 needs no sort — array_min uses the identical
+                # struct ordering (negsim ASC, cell_id ASC tie-break) as
+                # array_sort's first element, in O(C) instead of
+                # O(C log C) struct comparisons per row. This is the
+                # corpus-assignment path (every corpus vector, every
+                # ivf/semantic-dedup call); probing queries keep the sort.
+                return F.array(F.array_min(scored)["cell_id"])
             return F.transform(
                 F.slice(F.array_sort(scored), 1, n), lambda s: s["cell_id"]
             )
