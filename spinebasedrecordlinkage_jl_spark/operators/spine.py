@@ -227,8 +227,16 @@ def connected_components(
                     f" mode=single-task n_edges={n_edges}",
                     flush=True,
                 )
-            return e.groupBy(F.lit(0).alias("_g")).applyInPandas(
-                _union_find_pdf, "id long, component long"
+            # lazy checkpoint: callers (form_entities) consume the
+            # component map in several plan branches; without it every
+            # branch would re-run the union-find stage (the iterative
+            # path's output is a cheap projection of the per-round
+            # checkpointed edges, this one is real work). eager=False
+            # costs nothing until first materialized.
+            return (
+                e.groupBy(F.lit(0).alias("_g"))
+                .applyInPandas(_union_find_pdf, "id long, component long")
+                .localCheckpoint(eager=False)
             )
         convergence = "star" if n_edges <= _CC_AUTO_STAR_EDGES else "checksum"
     if debug:
